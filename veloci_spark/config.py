@@ -1,0 +1,77 @@
+"""Index/field configuration.
+
+Mirrors the semantics of the reference field config
+(/root/reference/src/create/fields_config.rs:61-111 and
+/root/reference/src/metadata.rs:60-105) without copying its structure:
+per-field tokenization toggle, custom separator chars, and the
+``do_not_store_text_longer_than`` dictionary cutoff (default 64 bytes,
+/root/reference/src/metadata.rs:66-68).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+# Default separator set — 26 chars, /root/reference/src/tokenizer/mod.rs:21-32.
+DEFAULT_SEPARATORS: str = " \t\n\r:(),.…;・’—-\\[]{}<>'\"“™"
+
+# Texts longer than this many BYTES are not stored in the term dictionary;
+# they are only reachable through their tokens
+# (/root/reference/src/metadata.rs:66-68, /root/reference/src/create.rs:140-159).
+DEFAULT_MAX_TEXT_STORE_BYTES = 64
+
+
+@dataclass(frozen=True)
+class FieldConfig:
+    """Per-field indexing options."""
+
+    name: str
+    tokenize: bool = True
+    separators: str = DEFAULT_SEPARATORS
+    max_text_store_bytes: int = DEFAULT_MAX_TEXT_STORE_BYTES
+    # feature toggles (reference: src/create/features.rs:41-80)
+    phrase_pairs: bool = True     # build the adjacent-pair index (phrase boost)
+    token_texts: bool = True      # build term→text relation (locality boost, why-found)
+    boost_from_value: bool = False  # numeric field used via boost-by-field
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Whole-index build options."""
+
+    fields: tuple[FieldConfig, ...] = (FieldConfig("text"),)
+    doc_id_col: Optional[str] = None   # pre-existing doc id column, else derived
+    order_col: str = "url"             # column whose global sort order defines doc_id
+    num_segments: int = 0              # 0 → derived from input partitions
+    segment_docs: int = 1 << 20        # target docs per segment at scale
+    posting_block_docs: int = 4096     # max docs per packed posting block
+    # terms whose doc-frequency exceeds this fraction of the corpus get
+    # salted into multiple build-side groups (hot-term skew handling)
+    hot_term_df_ratio: float = 0.05
+
+    def field(self, name: str) -> FieldConfig:
+        for f in self.fields:
+            if f.name == name:
+                return f
+        raise KeyError(f"field not indexed: {name}")
+
+    @property
+    def field_names(self) -> tuple[str, ...]:
+        return tuple(f.name for f in self.fields)
+
+
+def webtext_config(**kw) -> IndexConfig:
+    """Config for the Common-Crawl-style webtext table
+    (url:string, warc_ts:timestamp, html:binary, text:string, lang:string)."""
+    fields = kw.pop(
+        "fields",
+        (
+            FieldConfig("text"),
+            # url/lang: untokenized identity/facet columns (FIXTURES.md)
+            FieldConfig("url", tokenize=False, phrase_pairs=False, token_texts=False,
+                        max_text_store_bytes=4096),
+            FieldConfig("lang", tokenize=False, phrase_pairs=False, token_texts=False),
+        ),
+    )
+    return IndexConfig(fields=fields, **kw)

@@ -1,0 +1,250 @@
+"""Pure-Python in-memory model of the reference search semantics.
+
+This is the *differential-test oracle*: a deliberately simple, single-node
+implementation of the same data model and formulas (see SURVEY.md §2.4 with
+file:line citations) that the distributed Spark pipeline must agree with on
+any corpus. It is written from the documented semantics, not translated from
+the reference sources.
+
+Float arithmetic uses numpy float32 scalars to match the engine kernels.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from veloci_spark.config import IndexConfig
+from veloci_spark.scoring import final_score, index_score_u32, levenshtein_batch, term_score
+from veloci_spark.tokenizer import has_tokens, tokenize
+
+
+@dataclass
+class RefField:
+    term_id: dict = field(default_factory=dict)          # term -> id (sorted position)
+    terms: list = field(default_factory=list)            # id -> term
+    occ: dict = field(default_factory=dict)              # term -> num_occurences
+    postings: dict = field(default_factory=dict)         # term -> {doc_id: summed u32 score}
+    token_texts: dict = field(default_factory=dict)      # term -> set(text_key)
+    text_docs: dict = field(default_factory=dict)        # text_key -> sorted [doc_id]
+    phrase_pairs: dict = field(default_factory=dict)     # (tok_a, tok_b) -> set(doc_id)
+
+
+def _prefix_lev(t: str, q: str) -> int:
+    """min over prefixes p of t of levenshtein(p, q) — the `.starts_with()`
+    automaton semantics (any prefix of the key accepted within distance)."""
+    nq = len(q)
+    prev = list(range(nq + 1))
+    best = prev[nq]
+    for cs in t:
+        cur = [prev[0] + 1]
+        for k in range(1, nq + 1):
+            cur.append(min(prev[k - 1] + (q[k - 1] != cs), prev[k] + 1, cur[k - 1] + 1))
+        prev = cur
+        if prev[nq] < best:
+            best = prev[nq]
+    return best
+
+
+class RefIndex:
+    """In-memory build of the index over (doc_id, {field: text}) rows."""
+
+    def __init__(self, docs: list[dict], config: IndexConfig):
+        self.config = config
+        self.docs = docs
+        self.fields: dict[str, RefField] = {}
+        for fc in config.fields:
+            self.fields[fc.name] = self._build_field(fc)
+
+    def _build_field(self, fc) -> RefField:
+        f = RefField()
+        # pass 1: term counting — full texts (≤ max bytes) + every token run
+        # (reference create_fulltext.rs:81-111)
+        occ: dict[str, int] = defaultdict(int)
+        for doc in self.docs:
+            text = doc.get(fc.name)
+            if text is None:
+                continue
+            if len(text.encode("utf-8")) <= fc.max_text_store_bytes:
+                occ[text] += 1
+            if fc.tokenize and has_tokens(text, fc.separators):
+                for tok, _is_sep in tokenize(text, fc.separators):
+                    occ[tok] += 1
+        f.occ = dict(occ)
+        f.terms = sorted(occ)
+        f.term_id = {t: i for i, t in enumerate(f.terms)}
+
+        # pass 2: postings with index-time scores
+        postings: dict[str, dict[int, int]] = defaultdict(lambda: defaultdict(int))
+        for doc in self.docs:
+            text = doc.get(fc.name)
+            if text is None:
+                continue
+            doc_id = doc["doc_id"]
+            storable = len(text.encode("utf-8")) <= fc.max_text_store_bytes
+            if storable:
+                s = int(index_score_u32([0], [occ[text]], [1], [True])[0])
+                postings[text][doc_id] += s
+                if fc.token_texts:
+                    f.text_docs.setdefault(text, []).append(doc_id)
+            if fc.tokenize and has_tokens(text, fc.separators):
+                runs = tokenize(text, fc.separators)
+                n_tokens = len(runs)
+                best_pos: dict[str, int] = {}
+                prev_tok = None
+                for pos, (tok, is_sep) in enumerate(runs):
+                    if tok not in best_pos:
+                        best_pos[tok] = pos
+                    if fc.token_texts:
+                        f.token_texts.setdefault(tok, set()).add(text)
+                    if not is_sep:
+                        if fc.phrase_pairs and prev_tok is not None:
+                            f.phrase_pairs.setdefault((prev_tok, tok), set()).add(doc_id)
+                        prev_tok = tok
+                for tok, pos in best_pos.items():
+                    s = int(index_score_u32([pos], [occ[tok]], [n_tokens], [False])[0])
+                    postings[tok][doc_id] += s
+        f.postings = {t: dict(d) for t, d in postings.items()}
+        for k in f.text_docs:
+            f.text_docs[k].sort()
+        return f
+
+    # ---------------- query side ----------------
+
+    def match_terms(self, fld: str, term: str, *, levenshtein: int = 0,
+                    starts_with: bool = False, is_regex: bool = False,
+                    top: int | None = None, skip: int = 0):
+        """Dictionary match → [(term, term_id, score_f32)].
+
+        Reference get_term_ids_in_field (search_field.rs:277-398): the query
+        is lowercased; levenshtein distance capped to min(d, chars-1)
+        (:287) and to 4 in the automaton (:87). Candidate selection is
+        case-insensitive classic Levenshtein ≤ cap; with ``starts_with`` a
+        term is selected if *some prefix* of it is within the cap. The score
+        distance is the full classic distance (distance_dfa falls back to the
+        DP, :689-700); ``prefix_matches`` (term startswith query after
+        lowercasing, checked when starts_with or d≠0) switches the score to
+        the prefix formula. When ``top`` is set, matched terms truncate to
+        top+skip by (score desc, term_id desc) (:292-331, :373-376).
+        """
+        f = self.fields[fld]
+        lower = term.lower()
+        hits = []
+        if is_regex:
+            # dense DFA over the dictionary, case-insensitive by default
+            # (search_field.rs:72-83); full-key match, prefix with starts_with
+            rx = re.compile(term, re.IGNORECASE)
+            for t in f.terms:
+                if (rx.match(t) if starts_with else rx.fullmatch(t)):
+                    tl = t.lower()
+                    prefix = starts_with and tl.startswith(lower)
+                    d = 0 if tl == lower else int(levenshtein_batch([tl], lower, 254)[0])
+                    hits.append((t, f.term_id[t],
+                                 np.float32(term_score([d], [prefix])[0])))
+        else:
+            n_chars = max(len(lower), 1)
+            d_score_cap = min(levenshtein, n_chars - 1)
+            d_auto = min(d_score_cap, 4)
+            check_prefix = starts_with or levenshtein != 0
+            for t in f.terms:
+                tl = t.lower()
+                prefix = check_prefix and tl.startswith(lower)
+                if starts_with:
+                    selected = prefix if d_auto == 0 else (
+                        _prefix_lev(tl, lower) <= d_auto)
+                else:
+                    selected = (tl == lower) if d_auto == 0 else (
+                        int(levenshtein_batch([tl], lower, d_auto)[0]) <= d_auto)
+                if not selected:
+                    continue
+                d = 0 if tl == lower else int(levenshtein_batch([tl], lower, 254)[0])
+                hits.append((t, f.term_id[t], np.float32(term_score([d], [prefix])[0])))
+        if top is not None:
+            hits.sort(key=lambda h: (-float(h[2]), -h[1]))
+            hits = hits[: top + skip]
+        return hits
+
+    def resolve_leaf(self, fld: str, matched) -> dict[int, np.float32]:
+        """Matched terms → per-doc score, dedup keep MAX
+        (search_field.rs:400-502)."""
+        out: dict[int, np.float32] = {}
+        f = self.fields[fld]
+        for t, _tid, ts in matched:
+            plist = f.postings.get(t)
+            if not plist:
+                continue
+            for doc_id, stored in plist.items():
+                fs = np.float32(final_score([ts], [stored])[0])
+                if doc_id not in out or fs > out[doc_id]:
+                    out[doc_id] = fs
+        return out
+
+    def leaf_ids(self, fld: str, matched) -> set[int]:
+        f = self.fields[fld]
+        ids: set[int] = set()
+        for t, _tid, _ts in matched:
+            ids.update(f.postings.get(t, ()))
+        return ids
+
+
+def union_score(legs: list[tuple[str, dict[int, np.float32]]]) -> dict[int, np.float32]:
+    """OR merge (set_op.rs:87-220): per doc, max score per distinct query-term
+    string; sum those; × n_distinct² (terms with max ≥ 1e-5 count)."""
+    if len(legs) == 1:
+        return dict(legs[0][1])
+    terms = sorted({t for t, _ in legs})
+    per_doc: dict[int, dict[str, np.float32]] = defaultdict(dict)
+    for term, hits in legs:
+        for doc_id, s in hits.items():
+            cur = per_doc[doc_id].get(term)
+            if cur is None or s > cur:
+                per_doc[doc_id][term] = s
+    out = {}
+    for doc_id, by_term in per_doc.items():
+        vals = [by_term.get(t, np.float32(0.0)) for t in terms]
+        n = np.float32(sum(1 for v in vals if float(v) >= 0.00001))
+        total = np.float32(0.0)
+        for v in vals:
+            total = np.float32(total + v)
+        out[doc_id] = np.float32(total * n * n)
+    return out
+
+
+def intersect_score(legs: list[dict[int, np.float32]]) -> dict[int, np.float32]:
+    """AND merge (set_op.rs:368-446): docs present in all legs; score = sum."""
+    if len(legs) == 1:
+        return dict(legs[0])
+    common = set(legs[0])
+    for leg in legs[1:]:
+        common &= set(leg)
+    out = {}
+    for doc_id in common:
+        total = np.float32(0.0)
+        for leg in legs:
+            total = np.float32(total + leg[doc_id])
+        out[doc_id] = total
+    return out
+
+
+def apply_boosts(hits: dict[int, np.float32], boost_lists: list[tuple[list[int], float]]):
+    """Multiplicative boosts (boost.rs:146-195): for each boost list, every
+    occurrence of a hit's id multiplies its score by the boost value."""
+    for ids, val in boost_lists:
+        v = np.float32(val)
+        for i in ids:
+            if i in hits:
+                hits[i] = np.float32(hits[i] * v)
+    return hits
+
+
+def top_k(hits: dict[int, np.float32], top: int | None, skip: int = 0):
+    """(score DESC, doc_id DESC) then skip/top (search.rs:128-135, :235-244)."""
+    ranked = sorted(hits.items(), key=lambda kv: (-float(kv[1]), -kv[0]))
+    if skip:
+        ranked = ranked[skip:]
+    if top is not None:
+        ranked = ranked[:top]
+    return ranked
