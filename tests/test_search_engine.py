@@ -1,0 +1,256 @@
+"""End-to-end differential tests: Spark engine vs the pure-Python oracle
+(veloci_spark.pyref) on the synthetic webtext corpus, plus golden ranking
+assertions ported from the reference test expectations (FIXTURES.md §2)."""
+
+import numpy as np
+import pytest
+
+from veloci_spark import pyref
+from veloci_spark.config import webtext_config
+from veloci_spark.synth import generate_rows
+
+N_DOCS = 120
+SEGMENT_DOCS = 32  # small → several segments even on the tiny corpus
+
+
+def _sorted_rows(n=N_DOCS):
+    rows = generate_rows(n)
+    rows.sort(key=lambda r: r["url"])
+    for i, r in enumerate(rows):
+        r["doc_id"] = i
+    return rows
+
+
+@pytest.fixture(scope="session")
+def corpus():
+    return _sorted_rows()
+
+
+@pytest.fixture(scope="session")
+def ref_index(corpus):
+    return pyref.RefIndex(corpus, webtext_config(segment_docs=SEGMENT_DOCS))
+
+
+@pytest.fixture(scope="session")
+def spark_index(spark, corpus, index_dir):
+    from veloci_spark.build import build_index
+    from veloci_spark.search import FulltextIndex
+    from veloci_spark.synth import WEBTEXT_SCHEMA
+
+    cfg = webtext_config(segment_docs=SEGMENT_DOCS)
+    df = spark.createDataFrame(
+        [{k: r[k] for k in ("url", "warc_ts", "html", "text", "lang")} for r in corpus],
+        schema=WEBTEXT_SCHEMA,
+    ).repartition(4)
+    build_index(spark, df, cfg, index_dir)
+    return FulltextIndex(spark, index_dir).cache()
+
+
+def url_of(corpus, doc_id):
+    return corpus[doc_id]["url"].removeprefix("https://example.org/")
+
+
+# ---------------------------------------------------------------------------
+# build-side parity
+
+
+def test_dictionary_matches_oracle(spark_index, ref_index):
+    got = (
+        spark_index.dict_df.where("field = 'text'")
+        .orderBy("term_id").toPandas()
+    )
+    f = ref_index.fields["text"]
+    assert list(got["term"]) == f.terms
+    assert list(got["term_id"]) == list(range(len(f.terms)))
+    occ = dict(zip(got["term"], got["num_occurences"]))
+    assert occ == f.occ
+
+
+def test_postings_match_oracle(spark_index, ref_index):
+    from veloci_spark.vbyte import unpack_postings
+
+    rows = spark_index.postings.where("field = 'text'").toPandas()
+    tid_to_term = {i: t for i, t in enumerate(ref_index.fields["text"].terms)}
+    got: dict[str, dict[int, int]] = {}
+    for _, r in rows.iterrows():
+        docs, scores = unpack_postings(r["docs_bin"], r["scores_bin"])
+        plist = got.setdefault(tid_to_term[r["term_id"]], {})
+        for d, s in zip(docs, scores):
+            assert d not in plist  # (term, doc) unique across segments
+            plist[int(d)] = int(s)
+        assert int(r["max_score"]) == int(scores.max())
+        assert int(r["df"]) == len(docs)
+        seg = int(r["segment"])
+        assert all(seg == d // SEGMENT_DOCS for d in docs)
+    assert got == ref_index.fields["text"].postings
+
+
+def test_phrase_index_matches_oracle(spark_index, ref_index):
+    rows = spark_index.phrase.where("field = 'text'").toPandas()
+    got: dict[tuple, set] = {}
+    for _, r in rows.iterrows():
+        got.setdefault((r["tok_a"], r["tok_b"]), set()).update(int(d) for d in r["doc_ids"])
+    assert got == ref_index.fields["text"].phrase_pairs
+
+
+# ---------------------------------------------------------------------------
+# query-side differential battery (reference query shapes, FIXTURES.md §3)
+
+REQUESTS = [
+    # q01 exact term
+    {"search": {"terms": ["urge"], "path": "text"}, "top": 10},
+    # q02 fuzzy d=1 with max-dedup per doc
+    {"search": {"terms": ["majestätischer"], "path": "text",
+                "levenshtein_distance": 1}, "top": 10},
+    # q03 OR — sum(max per term) × n²
+    {"or": [{"search": {"terms": ["will"], "path": "text"}},
+            {"search": {"terms": ["urge"], "path": "text"}}], "top": 10},
+    {"or": [{"search": {"terms": ["greg"], "path": "text"}},
+            {"search": {"terms": ["tagebuch"], "path": "text"}},
+            {"search": {"terms": ["05"], "path": "text"}}], "top": 20},
+    # q04 AND — sum of leg scores
+    {"and": [{"search": {"terms": ["greg"], "path": "text"}},
+             {"search": {"terms": ["tagebuch"], "path": "text"}}], "top": 10},
+    # q05 OR + filter subtree
+    {"or": [{"search": {"terms": ["greg"], "path": "text"}},
+            {"search": {"terms": ["text"], "path": "text"}}],
+     "filter": {"search": {"terms": ["de"], "path": "lang"}}, "top": 20},
+    # q06 phrase boost ×5
+    {"search": {"terms": ["erbin"], "path": "text"},
+     "phrase_boosts": [{"path": "text",
+                        "search1": {"terms": ["die"], "path": "text"},
+                        "search2": {"terms": ["erbin"], "path": "text"}}],
+     "top": 10},
+    # q07 locality 2n²
+    {"or": [{"search": {"terms": ["text"], "path": "text"}},
+            {"search": {"terms": ["localität"], "path": "text"}}],
+     "text_locality": True, "top": 10},
+    # q08 term boost
+    {"or": [{"search": {"terms": ["will"], "path": "text"}},
+            {"search": {"terms": ["urge"], "path": "text"}}],
+     "boost_term": [{"terms": ["testo"], "path": "text", "boost": 5.0}], "top": 10},
+    # q09 prefix
+    {"search": {"terms": ["majes"], "path": "text", "starts_with": True}, "top": 10},
+    # q10 paging
+    {"or": [{"search": {"terms": ["greg"], "path": "text"}},
+            {"search": {"terms": ["tagebuch"], "path": "text"}}],
+     "top": 1, "skip": 1},
+    # q12 regex
+    {"search": {"terms": [".*myfun.*"], "path": "text", "is_regex": True}, "top": 10},
+    # multi-term leaf (implicit OR), multi-field OR expansion shares the tag
+    {"search": {"terms": ["karl", "karlo"], "path": "text"}, "top": 10},
+    {"or": [{"search": {"terms": ["urge"], "path": "text"}},
+            {"search": {"terms": ["urge"], "path": "url", "starts_with": True}}],
+     "top": 10},
+    # nested boolean
+    {"or": [{"and": [{"search": {"terms": ["greg"], "path": "text"}},
+                     {"search": {"terms": ["05"], "path": "text"}}]},
+            {"search": {"terms": ["erbin"], "path": "text"}}], "top": 10},
+    # fuzzy prefix
+    {"search": {"terms": ["majestätisch"], "path": "text",
+                "levenshtein_distance": 1, "starts_with": True}, "top": 10},
+    # leaf boost factor
+    {"or": [{"search": {"terms": ["will"], "path": "text", "boost": 3.0}},
+            {"search": {"terms": ["urge"], "path": "text"}}], "top": 10},
+]
+
+
+@pytest.mark.parametrize("req", REQUESTS, ids=lambda r: str(r)[:60])
+def test_request_matches_oracle(spark_index, ref_index, req):
+    from veloci_spark.search import search
+
+    got = search(spark_index, req)
+    want = pyref.search_request(ref_index, req)
+    got_pairs = [(d["doc_id"], np.float32(d["score"])) for d in got["data"]]
+    want_pairs = [(d, np.float32(s)) for d, s in want]
+    assert [p[0] for p in got_pairs] == [p[0] for p in want_pairs]
+    for (gd, gs), (wd, ws) in zip(got_pairs, want_pairs):
+        assert gs == ws, (gd, gs, ws)
+
+
+# ---------------------------------------------------------------------------
+# golden ranking assertions (independent of both implementations)
+
+
+def test_exact_text_beats_token_match(spark_index, corpus):
+    # reference tests.rs:503-514: doc whose full text == "will" ranks above
+    # the doc that merely contains the token
+    from veloci_spark.search import search
+
+    res = search(spark_index, {"search": {"terms": ["will"], "path": "text"}, "top": 10})
+    urls = [url_of(corpus, d["doc_id"]) for d in res["data"]]
+    assert urls[0] == "golden/basic/00"
+    assert "golden/basic/01" in urls
+
+
+def test_phrase_ranking_golden(spark_index, corpus):
+    # test_scores.rs:57-76: with phrase boost (greg,tagebuch) expected order
+    # is scores/00, scores/02, scores/01
+    from veloci_spark.search import search
+
+    req = {
+        "or": [{"search": {"terms": ["greg"], "path": "text"}},
+               {"search": {"terms": ["tagebuch"], "path": "text"}},
+               {"search": {"terms": ["05"], "path": "text"}}],
+        "phrase_boosts": [{"path": "text",
+                           "search1": {"terms": ["greg"], "path": "text"},
+                           "search2": {"terms": ["tagebuch"], "path": "text"}}],
+        "top": 10,
+    }
+    res = search(spark_index, req)
+    urls = [url_of(corpus, d["doc_id"]) for d in res["data"]]
+    ranked = [u for u in urls if u.startswith("golden/scores/")]
+    assert ranked == ["golden/scores/00", "golden/scores/02", "golden/scores/01"]
+
+
+def test_long_text_not_in_dictionary(spark_index, ref_index):
+    # tests_large.rs:30-36: >64-byte text must not be a dictionary term, but
+    # token search still hits the doc
+    from veloci_spark.search import search
+
+    long_text = next(t for t in [r["text"] for r in _sorted_rows()]
+                     if "considerably longer" in t)
+    n = spark_index.dict_df.where(
+        (spark_index.dict_df.field == "text") & (spark_index.dict_df.term == long_text)
+    ).count()
+    assert n == 0
+    res = search(spark_index, {"search": {"terms": ["considerably"], "path": "text"}, "top": 10})
+    assert len(res["data"]) == 1
+
+
+def test_facets(spark_index, ref_index, corpus):
+    from veloci_spark.search import search
+
+    res = search(spark_index, {
+        "search": {"terms": ["majestätisch"], "path": "text",
+                   "levenshtein_distance": 2, "starts_with": True},
+        "facets": [{"field": "lang", "top": 5}], "top": 10})
+    want = {}
+    for d, _s in pyref.search_request(
+            ref_index, {"search": {"terms": ["majestätisch"], "path": "text",
+                                   "levenshtein_distance": 2, "starts_with": True},
+                        "top": None}):
+        want[corpus[d]["lang"]] = want.get(corpus[d]["lang"], 0) + 1
+    got = dict(res["facets"]["lang"])
+    assert got == want
+
+
+def test_suggest(spark_index):
+    from veloci_spark.search import suggest
+
+    got = suggest(spark_index, "text", "majes")
+    assert [t for t, _s in got][:2] == ["majestät", "majestätischer"] or \
+        all(t.startswith("majes") for t, _s in got)
+    assert len(got) >= 3
+
+
+def test_paging_consistency(spark_index, ref_index):
+    from veloci_spark.search import search
+
+    base = {"or": [{"search": {"terms": ["greg"], "path": "text"}},
+                   {"search": {"terms": ["text"], "path": "text"}}]}
+    full = search(spark_index, {**base, "top": 6})["data"]
+    paged = []
+    for skip in range(0, 6, 2):
+        paged.extend(search(spark_index, {**base, "top": 2, "skip": skip})["data"])
+    assert [d["doc_id"] for d in paged] == [d["doc_id"] for d in full]

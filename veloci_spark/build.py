@@ -1,0 +1,510 @@
+"""Distributed inverted-index build (the write path).
+
+Reproduces the reference build dataflow (SURVEY.md §2.2, B1–B12) as an
+idiomatic Spark pipeline. Stage map (reference citations are for *semantics*,
+the implementation is Spark-first):
+
+1. ``assign_doc_ids`` — deterministic global doc ids = rank of ``url`` in the
+   global sort order (veloci anchor_id ≈ insertion order,
+   /root/reference/json_converter/src/lib.rs:152-168). Implemented
+   shuffle-once: ``repartitionByRange(order_col)`` + per-partition counts →
+   driver-side prefix sum → ``mapInPandas`` local rank + partition offset.
+   No single-node ``Window.orderBy`` — this is the piece that must survive
+   10^12 rows.
+2. tokenization — one ``mapInPandas`` pass emitting flat token rows
+   (grouped-separator semantics, veloci_spark.tokenizer). Flat rows beat an
+   ``array<struct>`` column here: the downstream aggregations all want the
+   exploded form, and Arrow moves flat columns cheaper than nested lists.
+3. term stats (B2) — token counts ∪ storable full-text counts →
+   ``groupBy(term).sum`` (partial aggregation handles stop-word skew
+   map-side).
+4. term-id assignment (B3) — term_id = global lexicographic rank per field
+   (/root/reference/src/create/create_fulltext.rs:68-77). Same
+   range-partition + prefix-sum trick as doc ids; per-field offsets.
+5. index-time scores (B4, veloci_spark.scoring, float32 + u32 truncation),
+   duplicate (term, doc) scores summed (B7,
+   /root/reference/src/create.rs:388-413).
+6. segmenting + packing (B6–B8): ``segment = doc_id // segment_docs`` —
+   postings are **doc-partitioned**, so even a stop-word's posting list is
+   bounded by ``segment_docs`` per storage row: hot-term skew is structurally
+   capped, and query-side evaluation is segment-local (scatter-gather).
+   Within a segment each (field, term) list is sorted by doc_id,
+   delta+VByte-packed (veloci_spark.vbyte), with per-block max scores for
+   block-max WAND pruning. Packing is ``repartitionByRange`` +
+   ``sortWithinPartitions`` + one vectorized ``mapInPandas`` (numpy
+   run-grouping, no per-row Python).
+7. phrase-pair index (B9) — adjacent non-separator token pairs via window
+   ``lag`` over non-sep tokens, grouped to sorted doc-id arrays
+   (/root/reference/src/create.rs:251-263 semantics).
+8. per-task checkpoint metrics (docs/sec, postings/sec, bytes) + stage
+   markers → resumable build with lineage (north_rule).
+
+Layout under ``index_dir``::
+
+    manifest.json            build config + table stats + stage lineage
+    dict/                    parquet (field, term, term_id, num_occurences)
+    postings/                parquet, partitioned by segment
+    phrase/                  parquet (field, tok_a, tok_b, doc_ids)
+    docs/                    parquet doc store (doc_id + source columns)
+    checkpoints/             per-task JSON metrics (lineage)
+    _stage_<name>.done       stage completion markers (resume skips them)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from veloci_spark.config import IndexConfig
+from veloci_spark.scoring import index_score_u32
+from veloci_spark.tokenizer import _runs_re, _sep_set
+from veloci_spark.vbyte import delta_encode, vbyte_encode
+
+# ---------------------------------------------------------------------------
+# stage bookkeeping
+
+
+def _stage_done(index_dir: str, name: str) -> bool:
+    return os.path.exists(os.path.join(index_dir, f"_stage_{name}.done"))
+
+
+def _mark_stage(index_dir: str, name: str, **info) -> None:
+    with open(os.path.join(index_dir, f"_stage_{name}.done"), "w") as f:
+        json.dump({"stage": name, "ts": time.time(), **info}, f)
+
+
+def _write_checkpoint(index_dir: str, stage: str, task_id: int, metrics: dict) -> None:
+    """Per-task lineage record (north_rule: per-partition checkpoints with
+    docs/sec, postings/sec, bytes)."""
+    ckpt_dir = os.path.join(index_dir, "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, f"{stage}-task{task_id:05d}.json")
+    with open(path, "w") as f:
+        json.dump({"stage": stage, "task_id": task_id, "ts": time.time(), **metrics}, f)
+
+
+# ---------------------------------------------------------------------------
+# 1. deterministic doc ids (scalable zip-with-index)
+
+
+def assign_doc_ids(df: DataFrame, order_col: str = "url", num_partitions: int | None = None) -> DataFrame:
+    """Add ``doc_id`` = 0-based rank of ``order_col`` in the global sort.
+
+    Range-partition on the order column (one shuffle), count rows per
+    partition, prefix-sum the counts on the driver (tiny), then assign
+    ``offset[pid] + local_rank`` inside each sorted partition. Equivalent to
+    ``row_number() over (orderBy url)`` but with no single-reducer window, so
+    it holds at 10^12 rows.
+    """
+    if num_partitions is None:
+        num_partitions = max(df.rdd.getNumPartitions(), 1)
+    parts = df.repartitionByRange(num_partitions, F.col(order_col))
+    counts = (
+        parts.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid").count().collect()
+    )
+    by_pid = {r["pid"]: r["count"] for r in counts}
+    offsets = {}
+    acc = 0
+    for pid in range(num_partitions):
+        offsets[pid] = acc
+        acc += by_pid.get(pid, 0)
+
+    out_schema = T.StructType(parts.schema.fields + [T.StructField("doc_id", T.LongType())])
+
+    def add_ids(iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = offsets.get(pid, 0)
+        seen = 0
+        for pdf in iterator:
+            pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+            pdf["doc_id"] = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
+            seen += len(pdf)
+            yield pdf
+
+    # sortWithinPartitions gives Arrow batches in order, but a partition can
+    # arrive as multiple batches → track a running offset per task.
+    return parts.sortWithinPartitions(order_col).mapInPandas(add_ids, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# 2. tokenization → flat token rows
+
+_TOKEN_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("token", T.StringType()),
+    T.StructField("is_sep", T.BooleanType()),
+    T.StructField("pos", T.IntegerType()),
+    T.StructField("n_tokens", T.IntegerType()),
+])
+
+
+def token_rows(docs: DataFrame, field: str, separators: str) -> DataFrame:
+    """Exploded token rows for one field: (doc_id, token, is_sep, pos, n_tokens).
+
+    Texts that are a single run (no ≥2 splits) emit nothing — the reference
+    gates the token loop on ``has_tokens``
+    (/root/reference/src/create.rs:225-280).
+    """
+    pattern = _runs_re(separators).pattern
+
+    def explode_tokens(iterator):
+        import re as _re
+
+        rx = _re.compile(pattern)
+        seps = _sep_set(separators)
+        for pdf in iterator:
+            ids_out, tok_out, sep_out, pos_out, ntok_out = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf[field].values):
+                if not text:
+                    continue
+                runs = rx.findall(text)
+                n = len(runs)
+                if n < 2:
+                    continue
+                ids_out.extend([doc_id] * n)
+                tok_out.extend(runs)
+                sep_out.extend([r[0] in seps for r in runs])
+                pos_out.extend(range(n))
+                ntok_out.extend([n] * n)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids_out, dtype="int64"),
+                "token": pd.Series(tok_out, dtype="object"),
+                "is_sep": pd.Series(sep_out, dtype="bool"),
+                "pos": pd.Series(pos_out, dtype="int32"),
+                "n_tokens": pd.Series(ntok_out, dtype="int32"),
+            })
+
+    return docs.select("doc_id", field).mapInPandas(explode_tokens, schema=_TOKEN_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# helpers: global rank per field (term ids)
+
+
+def _assign_term_ids(terms: DataFrame, num_partitions: int) -> DataFrame:
+    """(field, term, num_occurences) → + term_id (global lexicographic rank
+    per field). Range partition on (field, term), prefix sums per field."""
+    parts = terms.repartitionByRange(num_partitions, "field", "term")
+    counts = (
+        parts.select(F.spark_partition_id().alias("pid"), "field")
+        .groupBy("pid", "field").count().collect()
+    )
+    # per-field running offset over partitions in pid order
+    per_field: dict[str, dict[int, int]] = {}
+    for r in sorted(counts, key=lambda r: r["pid"]):
+        per_field.setdefault(r["field"], {})[r["pid"]] = r["count"]
+    offsets: dict[str, dict[int, int]] = {}
+    for fld, pid_counts in per_field.items():
+        acc = 0
+        offsets[fld] = {}
+        for pid in sorted(pid_counts):
+            offsets[fld][pid] = acc
+            acc += pid_counts[pid]
+
+    out_schema = T.StructType(parts.schema.fields + [T.StructField("term_id", T.LongType())])
+
+    def add_ids(iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen: dict[str, int] = {}
+        for pdf in iterator:
+            pdf = pdf.sort_values(["field", "term"], kind="mergesort").reset_index(drop=True)
+            ids = np.empty(len(pdf), dtype=np.int64)
+            fields = pdf["field"].values
+            # contiguous runs per field within the sorted batch
+            start = 0
+            while start < len(pdf):
+                fld = fields[start]
+                end = start
+                while end < len(pdf) and fields[end] == fld:
+                    end += 1
+                base = offsets.get(fld, {}).get(pid, 0) + seen.get(fld, 0)
+                ids[start:end] = np.arange(base, base + (end - start), dtype=np.int64)
+                seen[fld] = seen.get(fld, 0) + (end - start)
+                start = end
+            pdf["term_id"] = ids
+            yield pdf
+
+    return parts.sortWithinPartitions("field", "term").mapInPandas(add_ids, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# posting packing kernel
+
+_POSTING_SCHEMA = T.StructType([
+    T.StructField("field", T.StringType()),
+    T.StructField("term_id", T.LongType()),
+    T.StructField("segment", T.IntegerType()),
+    T.StructField("df", T.IntegerType()),
+    T.StructField("max_score", T.LongType()),
+    T.StructField("docs_bin", T.BinaryType()),
+    T.StructField("scores_bin", T.BinaryType()),
+    T.StructField("block_max", T.BinaryType()),   # u32 LE per block
+])
+
+
+def _pack_partition_factory(index_dir: str, block_docs: int):
+    def pack(iterator):
+        from pyspark import TaskContext
+
+        task_id = TaskContext.get().partitionId()
+        t0 = time.time()
+        n_postings = 0
+        n_bytes = 0
+        for pdf in iterator:
+            if pdf.empty:
+                continue
+            # rows arrive sorted by (field, term_id, segment, doc_id);
+            # group consecutive runs vectorized
+            fields = pdf["field"].values
+            tids = pdf["term_id"].values
+            segs = pdf["segment"].values
+            docs = pdf["doc_id"].values.astype(np.int64)
+            scores = pdf["score"].values.astype(np.uint64)
+            n = len(pdf)
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = (tids[1:] != tids[:-1]) | (segs[1:] != segs[:-1]) | (fields[1:] != fields[:-1])
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            out = {k: [] for k in ("field", "term_id", "segment", "df", "max_score",
+                                   "docs_bin", "scores_bin", "block_max")}
+            for s, e in zip(starts, ends):
+                d = docs[s:e]
+                sc = scores[s:e]
+                docs_bin = vbyte_encode(delta_encode(d.astype(np.uint64)))
+                scores_bin = vbyte_encode(sc)
+                nb = (e - s + block_docs - 1) // block_docs
+                bmax = np.empty(nb, dtype=np.uint32)
+                for b in range(nb):
+                    bmax[b] = sc[b * block_docs:(b + 1) * block_docs].max()
+                out["field"].append(fields[s])
+                out["term_id"].append(tids[s])
+                out["segment"].append(segs[s])
+                out["df"].append(e - s)
+                out["max_score"].append(int(sc.max()))
+                out["docs_bin"].append(docs_bin)
+                out["scores_bin"].append(scores_bin)
+                out["block_max"].append(bmax.tobytes())
+                n_postings += e - s
+                n_bytes += len(docs_bin) + len(scores_bin)
+            yield pd.DataFrame({
+                "field": out["field"],
+                "term_id": pd.Series(out["term_id"], dtype="int64"),
+                "segment": pd.Series(out["segment"], dtype="int32"),
+                "df": pd.Series(out["df"], dtype="int32"),
+                "max_score": pd.Series(out["max_score"], dtype="int64"),
+                "docs_bin": out["docs_bin"],
+                "scores_bin": out["scores_bin"],
+                "block_max": out["block_max"],
+            })
+        dt = max(time.time() - t0, 1e-9)
+        _write_checkpoint(index_dir, "pack", task_id, {
+            "postings": int(n_postings),
+            "postings_per_sec": n_postings / dt,
+            "bytes_compressed": int(n_bytes),
+            "wall_sec": dt,
+        })
+
+    return pack
+
+
+# ---------------------------------------------------------------------------
+# the build driver
+
+
+def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
+                index_dir: str, num_partitions: int | None = None) -> dict:
+    """Build the full index; returns the manifest dict. Resumable: completed
+    stages (marker files) are skipped on re-run."""
+    os.makedirs(index_dir, exist_ok=True)
+    t_start = time.time()
+    if num_partitions is None:
+        num_partitions = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+
+    # ---- stage: docs (doc ids + doc store) -------------------------------
+    docs_path = os.path.join(index_dir, "docs")
+    if not _stage_done(index_dir, "docs"):
+        t0 = time.time()
+        if config.doc_id_col and config.doc_id_col in df.columns:
+            with_ids = df.withColumn("doc_id", F.col(config.doc_id_col).cast("long"))
+        else:
+            with_ids = assign_doc_ids(df, config.order_col, num_partitions)
+        with_ids.write.mode("overwrite").parquet(docs_path)
+        _mark_stage(index_dir, "docs", wall_sec=time.time() - t0)
+    docs = spark.read.parquet(docs_path)
+    n_docs = docs.count()
+
+    # ---- stage: tokens ---------------------------------------------------
+    # materialize token rows once; reused by stats, postings, phrase stages
+    tokens_path = os.path.join(index_dir, "_tokens")
+    tokenized_fields = [fc for fc in config.fields if fc.tokenize]
+    if not _stage_done(index_dir, "tokens"):
+        t0 = time.time()
+        parts = []
+        for fc in tokenized_fields:
+            parts.append(token_rows(docs, fc.name, fc.separators).withColumn("field", F.lit(fc.name)))
+        if parts:
+            all_tokens = parts[0]
+            for p in parts[1:]:
+                all_tokens = all_tokens.unionByName(p)
+            all_tokens.write.mode("overwrite").parquet(tokens_path)
+        else:
+            spark.createDataFrame([], schema=T.StructType(
+                _TOKEN_SCHEMA.fields + [T.StructField("field", T.StringType())]
+            )).write.mode("overwrite").parquet(tokens_path)
+        dt = time.time() - t0
+        _write_checkpoint(index_dir, "tokenize", 0, {
+            "docs": n_docs, "docs_per_sec": n_docs / max(dt, 1e-9), "wall_sec": dt})
+        _mark_stage(index_dir, "tokens", wall_sec=dt)
+    tokens = spark.read.parquet(tokens_path)
+
+    # exact-text entries: full texts within the dictionary byte cutoff
+    # (/root/reference/src/metadata.rs:66-68 — longer texts are token-only)
+    def storable_texts(fc):
+        return (
+            docs.select("doc_id", F.col(fc.name).alias("term"))
+            .where(F.col("term").isNotNull())
+            .where(F.octet_length("term") <= fc.max_text_store_bytes)
+            .withColumn("field", F.lit(fc.name))
+        )
+
+    # ---- stage: dict (term stats + ids) ----------------------------------
+    dict_path = os.path.join(index_dir, "dict")
+    if not _stage_done(index_dir, "dict"):
+        t0 = time.time()
+        # num_occurences = corpus-wide frequency: once per token occurrence
+        # + once per storable full-text occurrence (create_fulltext.rs:81-111)
+        token_counts = tokens.groupBy("field", "token").agg(F.count("*").alias("cnt")) \
+            .withColumnRenamed("token", "term")
+        text_parts = [storable_texts(fc).groupBy("field", "term").agg(F.count("*").alias("cnt"))
+                      for fc in config.fields]
+        counts = token_counts
+        for p in text_parts:
+            counts = counts.unionByName(p)
+        occurrences = counts.groupBy("field", "term").agg(F.sum("cnt").alias("num_occurences"))
+        with_ids = _assign_term_ids(occurrences, num_partitions)
+        # sorted parquet per field → range-scannable dictionary (FST analog)
+        with_ids.repartitionByRange(num_partitions, "field", "term") \
+            .sortWithinPartitions("field", "term") \
+            .write.mode("overwrite").parquet(dict_path)
+        _mark_stage(index_dir, "dict", wall_sec=time.time() - t0)
+    term_dict = spark.read.parquet(dict_path)
+
+    # ---- stage: postings -------------------------------------------------
+    postings_path = os.path.join(index_dir, "postings")
+    segment_docs = config.segment_docs
+    if not _stage_done(index_dir, "postings"):
+        t0 = time.time()
+
+        @F.pandas_udf("long")
+        def score_udf(best_pos: pd.Series, occ: pd.Series, n_tokens: pd.Series,
+                      is_exact: pd.Series) -> pd.Series:
+            s = index_score_u32(best_pos.values, occ.values, n_tokens.values,
+                                is_exact.values)
+            return pd.Series(s.astype(np.int64))
+
+        # token entries: best (min) position per (doc, token)
+        # (/root/reference/src/create/calculate_score.rs:13-29)
+        token_entries = (
+            tokens.groupBy("field", "doc_id", "token")
+            .agg(F.min("pos").alias("best_pos"), F.first("n_tokens").alias("n_tokens"))
+            .withColumnRenamed("token", "term")
+            .withColumn("is_exact", F.lit(False))
+        )
+        text_entries_parts = [
+            storable_texts(fc).select(
+                "field", "doc_id", "term",
+                F.lit(0).alias("best_pos"), F.lit(1).alias("n_tokens"),
+                F.lit(True).alias("is_exact"),
+            )
+            for fc in config.fields
+        ]
+        entries = token_entries
+        for p in text_entries_parts:
+            entries = entries.unionByName(p)
+
+        scored = (
+            entries.join(term_dict.select("field", "term", "term_id", "num_occurences"),
+                         on=["field", "term"], how="inner")
+            .withColumn("score", score_udf("best_pos", "num_occurences", "n_tokens", "is_exact"))
+            # duplicate (term, doc) scores are summed (create.rs:388-413)
+            .groupBy("field", "term_id", "doc_id")
+            .agg(F.sum("score").alias("score"))
+            .withColumn("segment", (F.col("doc_id") / F.lit(segment_docs)).cast("int"))
+        )
+        packed = (
+            scored.repartitionByRange(num_partitions, "field", "term_id", "segment")
+            .sortWithinPartitions("field", "term_id", "segment", "doc_id")
+            .mapInPandas(_pack_partition_factory(index_dir, config.posting_block_docs),
+                         schema=_POSTING_SCHEMA)
+        )
+        packed.write.mode("overwrite").partitionBy("segment").parquet(postings_path)
+        _mark_stage(index_dir, "postings", wall_sec=time.time() - t0)
+
+    # ---- stage: phrase pairs --------------------------------------------
+    phrase_path = os.path.join(index_dir, "phrase")
+    phrase_fields = [fc.name for fc in config.fields if fc.tokenize and fc.phrase_pairs]
+    if not _stage_done(index_dir, "phrase"):
+        t0 = time.time()
+        if phrase_fields:
+            nonsep = tokens.where(~F.col("is_sep")).where(F.col("field").isin(phrase_fields))
+            w = Window.partitionBy("field", "doc_id").orderBy("pos")
+            pairs = (
+                nonsep.withColumn("tok_a", F.lag("token").over(w))
+                .where(F.col("tok_a").isNotNull())
+                .select("field", "tok_a", F.col("token").alias("tok_b"), "doc_id")
+                .withColumn("segment", (F.col("doc_id") / F.lit(segment_docs)).cast("int"))
+                .groupBy("field", "tok_a", "tok_b", "segment")
+                .agg(F.sort_array(F.collect_set("doc_id")).alias("doc_ids"))
+            )
+            pairs.write.mode("overwrite").parquet(phrase_path)
+        else:
+            spark.createDataFrame(
+                [], "field string, tok_a string, tok_b string, segment int, doc_ids array<long>"
+            ).write.mode("overwrite").parquet(phrase_path)
+        _mark_stage(index_dir, "phrase", wall_sec=time.time() - t0)
+
+    # ---- manifest --------------------------------------------------------
+    n_terms = term_dict.count()
+    n_segments = int(n_docs // segment_docs) + 1
+    manifest = {
+        "version": 1,
+        "built_at": time.time(),
+        "n_docs": int(n_docs),
+        "n_terms": int(n_terms),
+        "segment_docs": segment_docs,
+        "n_segments": n_segments,
+        "posting_block_docs": config.posting_block_docs,
+        "fields": [
+            {"name": fc.name, "tokenize": fc.tokenize, "separators": fc.separators,
+             "max_text_store_bytes": fc.max_text_store_bytes,
+             "phrase_pairs": fc.phrase_pairs}
+            for fc in config.fields
+        ],
+        "build_wall_sec": time.time() - t_start,
+        "docs_per_sec": n_docs / max(time.time() - t_start, 1e-9),
+        "stages": sorted(
+            fn[len("_stage_"):-len(".done")]
+            for fn in os.listdir(index_dir) if fn.startswith("_stage_")
+        ),
+    }
+    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+def load_manifest(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        return json.load(f)

@@ -248,3 +248,130 @@ def top_k(hits: dict[int, np.float32], top: int | None, skip: int = 0):
     if top is not None:
         ranked = ranked[:top]
     return ranked
+
+
+# ---------------------------------------------------------------------------
+# full request evaluation (independent counterpart of veloci_spark.search —
+# deliberately NOT sharing code with the Spark engine, so differential tests
+# exercise two implementations of the same documented semantics)
+
+
+def _leaf_opts(leaf_req: dict) -> dict:
+    return {
+        "levenshtein": leaf_req.get("levenshtein_distance", 0),
+        "starts_with": leaf_req.get("starts_with", False),
+        "is_regex": leaf_req.get("is_regex", False),
+        "top": leaf_req.get("top"),
+        "skip": leaf_req.get("skip", 0),
+    }
+
+
+def _eval_scored(index: "RefIndex", node: dict) -> tuple[str, dict]:
+    """Returns (tag, {doc_id: f32 score}) for a request subtree."""
+    if "or" in node or "and" in node:
+        op = "or" if "or" in node else "and"
+        legs = [_eval_scored(index, c) for c in node[op]]
+        tag = op + "(" + ",".join(t for t, _ in legs) + ")"
+        if op == "or":
+            return tag, union_score([(t, h) for t, h in legs])
+        return tag, intersect_score([h for _, h in legs])
+    leaf_req = node.get("search", node)
+    field = leaf_req["path"]
+    terms = leaf_req.get("terms") or [leaf_req["term"]]
+    opts = _leaf_opts(leaf_req)
+    boost = leaf_req.get("boost")
+    legs = []
+    for t in terms:
+        matched = index.match_terms(field, t, **opts)
+        hits = index.resolve_leaf(field, matched)
+        if boost is not None:
+            hits = {d: np.float32(s * np.float32(boost)) for d, s in hits.items()}
+        legs.append((t.lower(), hits))
+    if len(legs) == 1:
+        return legs[0]
+    tag = "or(" + ",".join(t for t, _ in legs) + ")"
+    return tag, union_score(legs)
+
+
+def _eval_ids(index: "RefIndex", node: dict) -> set:
+    if "or" in node or "and" in node:
+        op = "or" if "or" in node else "and"
+        parts = [_eval_ids(index, c) for c in node[op]]
+        out = parts[0]
+        for p in parts[1:]:
+            out = (out | p) if op == "or" else (out & p)
+        return out
+    leaf_req = node.get("search", node)
+    field = leaf_req["path"]
+    terms = leaf_req.get("terms") or [leaf_req["term"]]
+    opts = _leaf_opts(leaf_req)
+    ids: set = set()
+    for t in terms:
+        ids |= index.leaf_ids(field, index.match_terms(field, t, **opts))
+    return ids
+
+
+def _scored_leaves(index: "RefIndex", node: dict) -> list[tuple[str, set]]:
+    """(tag, hit doc ids) for every scored leaf — for the locality boost."""
+    if "or" in node or "and" in node:
+        op = "or" if "or" in node else "and"
+        out = []
+        for c in node[op]:
+            out.extend(_scored_leaves(index, c))
+        return out
+    leaf_req = node.get("search", node)
+    field = leaf_req["path"]
+    terms = leaf_req.get("terms") or [leaf_req["term"]]
+    opts = _leaf_opts(leaf_req)
+    return [(t.lower(), index.leaf_ids(field, index.match_terms(field, t, **opts)))
+            for t in terms]
+
+
+def search_request(index: "RefIndex", request: dict):
+    """Full request → ranked [(doc_id, f32 score)] (top/skip applied).
+
+    Pipeline order matches the engine: tree → filter → phrase boosts (request
+    order) → term boosts (request order) → text locality — all float32.
+    """
+    tree = request.get("search_req") or {
+        k: request[k] for k in ("or", "and", "search") if k in request
+    }
+    _tag, hits = _eval_scored(index, tree)
+    hits = dict(hits)
+
+    if request.get("filter") is not None:
+        allowed = _eval_ids(index, request["filter"])
+        hits = {d: s for d, s in hits.items() if d in allowed}
+
+    for pb in request.get("phrase_boosts", []):
+        a = (pb.get("search1") or pb)["terms"][0]
+        b = (pb.get("search2") or pb)["terms"][0]
+        f = index.fields[pb["path"]]
+        docs = f.phrase_pairs.get((a, b), set())
+        for d in hits:
+            if d in docs:
+                hits[d] = np.float32(hits[d] * np.float32(5.0))
+
+    for tb in request.get("boost_term", []):
+        factor = np.float32(tb.get("boost", 2.0))
+        ids: set = set()
+        for t in tb.get("terms", []):
+            ids |= index.leaf_ids(tb["path"], index.match_terms(tb["path"], t))
+        for d in hits:
+            if d in ids:
+                hits[d] = np.float32(hits[d] * factor)
+
+    if request.get("text_locality"):
+        by_tag: dict[str, set] = {}
+        for tag, ids in _scored_leaves(index, tree):
+            by_tag.setdefault(tag, set()).update(ids)
+        count: dict[int, int] = defaultdict(int)
+        for ids in by_tag.values():
+            for d in ids:
+                count[d] += 1
+        for d, n in count.items():
+            if n >= 2 and d in hits:
+                nf = np.float32(n)
+                hits[d] = np.float32(hits[d] * np.float32(2.0) * nf * nf)
+
+    return top_k(hits, request.get("top", 10), request.get("skip", 0))

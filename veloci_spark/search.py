@@ -1,0 +1,572 @@
+"""Query-side engine: term matching + segment-local request evaluation.
+
+The reference executes a query as a DAG of channel-connected plan steps over
+in-memory posting stores (/root/reference/src/plan_creator/execution_plan.rs,
+SURVEY.md §3.1). The Spark-native shape used here is **scatter-gather**:
+
+1. *Term match* (Q1–Q4) — the query's leaf terms are matched against the
+   sorted term dictionary (exact filter / length-banded vectorized
+   Levenshtein / prefix / regex). Matched terms are tiny (bounded by the
+   dictionary hit count) and are collected to the driver.
+2. *Plan broadcast* — the whole request tree (boolean ops, filters, boosts)
+   plus the matched (term_id → term_score) tables are serialized into a
+   small plan dict captured by the kernel closure (broadcast by Spark).
+3. *Segment kernel* — postings rows for the matched term_ids are scanned
+   (parquet predicate pushdown on ``field``/``term_id``), and the **entire**
+   request tree is evaluated per segment inside one vectorized
+   ``mapInPandas`` kernel (numpy over unpacked delta+VByte postings): leaf
+   max-dedup (semantics of /root/reference/src/search/search_field.rs:449-463),
+   OR = ``sum(max per distinct query term) × n_distinct²``
+   (set_op.rs:166-186), AND = sum of leg scores (set_op.rs:414-417),
+   ids-only filter (set_op.rs:311-326), phrase ×5.0
+   (plan_steps.rs:267), term boost, text-locality 2n² (boost.rs:70-80).
+   Because postings are doc-partitioned by segment, every per-doc operation
+   is segment-local — no shuffle; a 1000-executor cluster evaluates segments
+   independently.
+4. *Global top-k* — each segment emits only its local top (top+skip) (unless
+   facets/why-found need the full hit set), then a global
+   ``orderBy(score DESC, doc_id DESC).limit(...)`` — the required tie-break
+   (/root/reference/src/search.rs:128-135).
+
+All score arithmetic is float32 (veloci_spark.scoring) for rank-identical
+parity with the reference formulas; the pure-Python model in
+``veloci_spark.pyref`` is the differential-test oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from veloci_spark.build import load_manifest
+from veloci_spark.scoring import levenshtein_batch, term_score
+from veloci_spark.vbyte import unpack_postings, vbyte_decode
+from veloci_spark import pyref
+
+_F32 = np.float32
+
+
+class FulltextIndex:
+    """Handle on a built index directory."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.manifest = load_manifest(index_dir)
+        self.dict_df = spark.read.parquet(f"{index_dir}/dict")
+        self.postings = spark.read.parquet(f"{index_dir}/postings")
+        self.phrase = spark.read.parquet(f"{index_dir}/phrase")
+        self.docs = spark.read.parquet(f"{index_dir}/docs")
+        self.fields = {f["name"]: f for f in self.manifest["fields"]}
+
+    def cache(self):
+        """Pin the dictionary + postings (the reference's LoadingType=InMemory)."""
+        self.dict_df.cache().count()
+        self.postings.cache().count()
+        return self
+
+
+# ---------------------------------------------------------------------------
+# term matching (Q1–Q4) — semantics documented at pyref.RefIndex.match_terms
+
+
+def match_terms(index: FulltextIndex, field: str, term: str, *,
+                levenshtein: int = 0, starts_with: bool = False,
+                is_regex: bool = False, top: int | None = None,
+                skip: int = 0) -> pd.DataFrame:
+    """Match a query term against the dictionary.
+
+    Returns a pandas DataFrame (term, term_id, distance, prefix, score) —
+    small by construction (dictionary hits only).
+    """
+    d = index.dict_df.where(F.col("field") == field)
+    lower = term.lower()
+    n_chars = max(len(lower), 1)
+    d_auto = min(levenshtein, n_chars - 1, 4)
+    check_prefix = starts_with or levenshtein != 0
+
+    if is_regex:
+        pat = term
+
+        @F.pandas_udf("boolean")
+        def rx_sel(t: pd.Series) -> pd.Series:
+            import re as _re
+            rx = _re.compile(pat, _re.IGNORECASE)
+            if starts_with:
+                return t.map(lambda s: rx.match(s) is not None)
+            return t.map(lambda s: rx.fullmatch(s) is not None)
+
+        cand = d.where(rx_sel(F.col("term")))
+    elif starts_with:
+        if d_auto == 0:
+            cand = d.where(F.lower(F.col("term")).startswith(F.lit(lower)))
+        else:
+            q, cap = lower, d_auto
+
+            @F.pandas_udf("boolean")
+            def pfx_sel(t: pd.Series) -> pd.Series:
+                return t.map(lambda s: pyref._prefix_lev(s.lower(), q) <= cap)
+
+            cand = d.where(pfx_sel(F.col("term")))
+    elif d_auto == 0:
+        cand = d.where(F.lower(F.col("term")) == F.lit(lower))
+    else:
+        q, cap = lower, d_auto
+
+        @F.pandas_udf("boolean")
+        def lev_sel(t: pd.Series) -> pd.Series:
+            low = t.str.lower()
+            return pd.Series(levenshtein_batch(list(low.values), q, cap) <= cap)
+
+        # length band is parquet-pushdown-friendly pre-pruning
+        cand = d.where(
+            (F.length("term") >= n_chars - d_auto) & (F.length("term") <= n_chars + d_auto)
+        ).where(lev_sel(F.col("term")))
+
+    rows = cand.select("term", "term_id").toPandas()
+    if rows.empty:
+        return pd.DataFrame(columns=["term", "term_id", "distance", "prefix", "score"])
+    tl = rows["term"].str.lower()
+    dist = np.where(tl.values == lower, 0,
+                    levenshtein_batch(list(tl.values), lower, 254)).astype(np.int64)
+    prefix = np.array([check_prefix and s.startswith(lower) for s in tl.values], dtype=bool)
+    score = term_score(dist, prefix)
+    out = pd.DataFrame({"term": rows["term"].values, "term_id": rows["term_id"].values,
+                        "distance": dist, "prefix": prefix, "score": score})
+    if top is not None:
+        # matched-term truncation (search_field.rs:292-331,373-376)
+        out = out.sort_values(["score", "term_id"], ascending=[False, False],
+                              kind="mergesort").head(top + skip)
+    return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# request parsing → plan
+
+
+class _Leaf:
+    __slots__ = ("leaf_id", "field", "term", "opts", "tag", "boost", "matched")
+
+    def __init__(self, leaf_id, field, term, opts, boost):
+        self.leaf_id = leaf_id
+        self.field = field
+        self.term = term
+        self.opts = opts
+        self.tag = term.lower()
+        self.boost = boost
+        self.matched = None  # pandas df from match_terms
+
+
+def _parse_tree(node: dict, leaves: list, dedup: dict):
+    """Request subtree → plan node; identical leaf searches are deduped and
+    executed once (reference plan dedup, execution_plan.rs:84-123)."""
+    if "or" in node:
+        return {"op": "or", "children": [_parse_tree(c, leaves, dedup) for c in node["or"]]}
+    if "and" in node:
+        return {"op": "and", "children": [_parse_tree(c, leaves, dedup) for c in node["and"]]}
+    leaf_req = node.get("search", node)
+    field = leaf_req["path"]
+    terms = leaf_req.get("terms") or [leaf_req["term"]]
+    opts = {
+        "levenshtein": leaf_req.get("levenshtein_distance", 0),
+        "starts_with": leaf_req.get("starts_with", False),
+        "is_regex": leaf_req.get("is_regex", False),
+        "top": leaf_req.get("top"),
+        "skip": leaf_req.get("skip", 0),
+    }
+    boost = leaf_req.get("boost")
+    children = []
+    for t in terms:
+        key = (field, t.lower(), tuple(sorted(opts.items())), boost)
+        if key in dedup:
+            leaf = dedup[key]
+        else:
+            leaf = _Leaf(len(leaves), field, t, opts, boost)
+            leaves.append(leaf)
+            dedup[key] = leaf
+        children.append({"op": "leaf", "leaf_id": leaf.leaf_id, "tag": leaf.tag,
+                         "boost": boost})
+    if len(children) == 1:
+        return children[0]
+    return {"op": "or", "children": children}
+
+
+def _tree_tag(node) -> str:
+    if node["op"] == "leaf":
+        return node["tag"]
+    return node["op"] + "(" + ",".join(_tree_tag(c) for c in node["children"]) + ")"
+
+
+# ---------------------------------------------------------------------------
+# the segment kernel (pure numpy/pandas; shared by Spark and by unit tests)
+
+
+def _dedup_max(ids: np.ndarray, scores: np.ndarray):
+    order = np.argsort(ids, kind="stable")
+    ids, scores = ids[order], scores[order]
+    uniq, idx = np.unique(ids, return_index=True)
+    return uniq, np.maximum.reduceat(scores.astype(_F32), idx)
+
+
+def eval_tree(node, leaf_hits: dict):
+    """Evaluate a scored plan tree. leaf_hits: leaf_id → (ids, f32 scores).
+    Returns (ids sorted asc, f32 scores)."""
+    if node["op"] == "leaf":
+        ids, sc = leaf_hits.get(node["leaf_id"], (np.empty(0, np.int64), np.empty(0, _F32)))
+        if node.get("boost") is not None:
+            sc = (sc * _F32(node["boost"])).astype(_F32)
+        return ids, sc
+    kids = [(c, eval_tree(c, leaf_hits)) for c in node["children"]]
+    if len(kids) == 1:
+        return kids[0][1]
+    if node["op"] == "and":
+        # docs present in all legs; score = sum of leg scores in leg order
+        # (set_op.rs:368-446)
+        common = kids[0][1][0]
+        for _, (ids, _sc) in kids[1:]:
+            common = common[np.isin(common, ids)]
+        total = np.zeros(len(common), dtype=_F32)
+        for _, (ids, sc) in kids:
+            pos = np.searchsorted(ids, common)
+            total = (total + sc[pos]).astype(_F32)
+        return common, total
+    # OR (set_op.rs:87-220): per doc, max per distinct tag (sorted tag
+    # order), sum those, × n_distinct² (tags with max ≥ 1e-5 count)
+    tags = sorted({_tree_tag(c) for c, _ in kids})
+    tag_ix = {t: i for i, t in enumerate(tags)}
+    all_ids, all_tags, all_sc = [], [], []
+    for c, (ids, sc) in kids:
+        all_ids.append(ids)
+        all_tags.append(np.full(len(ids), tag_ix[_tree_tag(c)], dtype=np.int64))
+        all_sc.append(sc)
+    ids = np.concatenate(all_ids)
+    tgs = np.concatenate(all_tags)
+    scs = np.concatenate(all_sc).astype(_F32)
+    if len(ids) == 0:
+        return ids.astype(np.int64), scs
+    order = np.lexsort((tgs, ids))
+    ids, tgs, scs = ids[order], tgs[order], scs[order]
+    pair_change = np.empty(len(ids), dtype=bool)
+    pair_change[0] = True
+    pair_change[1:] = (ids[1:] != ids[:-1]) | (tgs[1:] != tgs[:-1])
+    starts = np.flatnonzero(pair_change)
+    gids = ids[starts]
+    gmax = np.maximum.reduceat(scs, starts)
+    doc_change = np.empty(len(gids), dtype=bool)
+    doc_change[0] = True
+    doc_change[1:] = gids[1:] != gids[:-1]
+    dstarts = np.flatnonzero(doc_change)
+    out_ids = gids[dstarts]
+    # sequential f32 sum per doc in ascending tag order (matches pyref)
+    sums = np.add.reduceat(gmax, dstarts).astype(_F32)
+    counts = np.add.reduceat((gmax >= _F32(1e-5)).astype(_F32), dstarts).astype(_F32)
+    return out_ids, (sums * counts * counts).astype(_F32)
+
+
+def eval_id_tree(node, leaf_ids: dict) -> np.ndarray:
+    """Ids-only filter tree (set_op.rs:222-258,468-509)."""
+    if node["op"] == "leaf":
+        return leaf_ids.get(node["leaf_id"], np.empty(0, np.int64))
+    parts = [eval_id_tree(c, leaf_ids) for c in node["children"]]
+    if node["op"] == "and":
+        out = parts[0]
+        for p in parts[1:]:
+            out = out[np.isin(out, p)]
+        return out
+    return np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+
+
+def eval_segment(plan: dict, leaf_hits: dict, leaf_idsets: dict):
+    """Full post-tree pipeline for one segment. Returns (ids, scores)."""
+    ids, scores = eval_tree(plan["tree"], leaf_hits)
+    if plan.get("filter") is not None:
+        fids = eval_id_tree(plan["filter"], leaf_idsets)
+        keep = np.isin(ids, fids)
+        ids, scores = ids[keep], scores[keep]
+    # phrase boost ×5.0 per matched distinct phrase (plan_steps.rs:267);
+    # multiple phrases multiply (test_phrase.rs:130-219)
+    for leaf_id in plan.get("phrase_leaves", ()):
+        pids = leaf_idsets.get(leaf_id)
+        if pids is not None and len(pids):
+            hit = np.isin(ids, pids)
+            scores = np.where(hit, scores * _F32(5.0), scores).astype(_F32)
+    # term boost (boost.rs:89-195), default factor 2.0
+    for leaf_id, factor in plan.get("term_boost_leaves", ()):
+        pids = leaf_idsets.get(leaf_id)
+        if pids is not None and len(pids):
+            hit = np.isin(ids, pids)
+            scores = np.where(hit, scores * _F32(factor), scores).astype(_F32)
+    # text locality: docs hit by n ≥ 2 distinct query terms → × 2n²
+    # (boost.rs:11-87; flat schema ⇒ text ≡ doc)
+    if plan.get("locality"):
+        tag_ids: dict[str, list] = {}
+        for leaf_id, tag in plan.get("locality_leaves", ()):
+            hit_ids = leaf_hits.get(leaf_id, (np.empty(0, np.int64), None))[0]
+            tag_ids.setdefault(tag, []).append(hit_ids)
+        per_tag = [np.unique(np.concatenate(v)) for v in tag_ids.values()]
+        if per_tag:
+            allh = np.concatenate(per_tag)
+            uniq, cnt = np.unique(allh, return_counts=True)
+            multi = uniq[cnt >= 2]
+            ncnt = cnt[cnt >= 2].astype(_F32)
+            pos = np.searchsorted(ids, multi)
+            ok = (pos < len(ids))
+            pos_ok = pos[ok]
+            match = ids[pos_ok] == multi[ok]
+            sel = pos_ok[match]
+            factors = (_F32(2.0) * ncnt[ok][match] * ncnt[ok][match]).astype(_F32)
+            scores[sel] = (scores[sel] * factors).astype(_F32)
+    return ids, scores
+
+
+# ---------------------------------------------------------------------------
+# driver: request → result
+
+
+def _collect_leaves(index: FulltextIndex, request: dict):
+    leaves: list[_Leaf] = []
+    dedup: dict = {}
+    tree_req = request.get("search_req") or {
+        k: request[k] for k in ("or", "and", "search") if k in request
+    }
+    tree = _parse_tree(tree_req, leaves, dedup)
+    filter_tree = None
+    if request.get("filter") is not None:
+        filter_tree = _parse_tree(request["filter"], leaves, dedup)
+    scored_leaf_ids = set()
+
+    def mark(node):
+        if node["op"] == "leaf":
+            scored_leaf_ids.add(node["leaf_id"])
+        else:
+            for c in node["children"]:
+                mark(c)
+
+    mark(tree)
+
+    phrase_specs = []
+    for pb in request.get("phrase_boosts", []):
+        a = (pb.get("search1") or pb)["terms"][0]
+        b = (pb.get("search2") or pb)["terms"][0]
+        phrase_specs.append((pb["path"], a, b))
+
+    term_boost_leaves = []
+    for tb in request.get("boost_term", []):
+        field = tb["path"]
+        factor = tb.get("boost", 2.0)
+        for t in tb.get("terms", []):
+            key = (field, t.lower(), tuple(sorted({
+                "levenshtein": 0, "starts_with": False, "is_regex": False,
+                "top": None, "skip": 0}.items())), None)
+            if key in dedup:
+                leaf = dedup[key]
+            else:
+                leaf = _Leaf(len(leaves), field, t,
+                             {"levenshtein": 0, "starts_with": False,
+                              "is_regex": False, "top": None, "skip": 0}, None)
+                leaves.append(leaf)
+                dedup[key] = leaf
+            term_boost_leaves.append((leaf.leaf_id, float(factor)))
+
+    # match all leaves against the dictionary
+    for leaf in leaves:
+        leaf.matched = match_terms(index, leaf.field, leaf.term, **leaf.opts)
+    return tree, filter_tree, leaves, scored_leaf_ids, phrase_specs, term_boost_leaves
+
+
+_HITS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("score", T.FloatType()),
+])
+
+
+def search_df(index: FulltextIndex, request: dict) -> DataFrame:
+    """Evaluate a request; returns ranked DataFrame (doc_id, score) — already
+    sorted (score DESC, doc_id DESC) with top/skip applied."""
+    hits, _ = _search_hits(index, request, need_all=False)
+    top = request.get("top", 10)
+    skip = request.get("skip", 0)
+    ranked = hits.orderBy(F.desc("score"), F.desc("doc_id"))
+    if skip:
+        w_rows = ranked.limit(top + skip).collect()[skip:]
+        return index.spark.createDataFrame(w_rows or [], schema=_HITS_SCHEMA)
+    return ranked.limit(top)
+
+
+def _search_hits(index: FulltextIndex, request: dict, need_all: bool):
+    """Run the segment kernel. Returns (hits DataFrame, plan context)."""
+    (tree, filter_tree, leaves, scored_ids, phrase_specs,
+     term_boost_leaves) = _collect_leaves(index, request)
+
+    top = request.get("top", 10)
+    skip = request.get("skip", 0)
+    emit_all = need_all or bool(request.get("facets")) or request.get("why_found")
+
+    # kernel input: postings rows for matched terms, tagged with leaf_id
+    matched_rows = []  # (field, term_id, leaf_id, term_score)
+    for leaf in leaves:
+        for _, r in leaf.matched.iterrows():
+            matched_rows.append((leaf.field, int(r["term_id"]), leaf.leaf_id,
+                                 float(r["score"])))
+    plan = {
+        "tree": tree,
+        "filter": filter_tree,
+        "phrase_leaves": [],
+        "term_boost_leaves": term_boost_leaves,
+        "locality": bool(request.get("text_locality")),
+        "locality_leaves": [(l.leaf_id, l.tag) for l in leaves
+                            if l.leaf_id in scored_ids],
+        "top": None if emit_all else top + skip,
+    }
+    spark = index.spark
+    if not matched_rows:
+        return spark.createDataFrame([], schema=_HITS_SCHEMA), plan
+
+    matched_df = spark.createDataFrame(
+        matched_rows, "field string, term_id long, leaf_id int, term_score float")
+    fields = list({m[0] for m in matched_rows})
+    tids = list({m[1] for m in matched_rows})
+    rows = (
+        index.postings
+        .where(F.col("field").isin(fields) & F.col("term_id").isin(tids))
+        .join(F.broadcast(matched_df), on=["field", "term_id"])
+        .select("segment", "leaf_id", "term_score", "docs_bin", "scores_bin")
+        .withColumn("doc_ids", F.lit(None).cast("array<long>"))
+        .withColumn("phrase_leaf", F.lit(-1))
+    )
+
+    # phrase legs: segment-local doc-id lists from the phrase index
+    next_leaf_id = len(leaves)
+    phrase_leaf_ids = []
+    if phrase_specs:
+        specs_df = spark.createDataFrame(
+            [(f, a, b, next_leaf_id + i) for i, (f, a, b) in enumerate(phrase_specs)],
+            "field string, tok_a string, tok_b string, phrase_leaf int")
+        phrase_leaf_ids = [next_leaf_id + i for i in range(len(phrase_specs))]
+        prows = (
+            index.phrase.join(F.broadcast(specs_df), on=["field", "tok_a", "tok_b"])
+            .select("segment",
+                    F.col("phrase_leaf").alias("leaf_id"),
+                    F.lit(0.0).cast("float").alias("term_score"),
+                    F.lit(None).cast("binary").alias("docs_bin"),
+                    F.lit(None).cast("binary").alias("scores_bin"),
+                    "doc_ids",
+                    "phrase_leaf")
+        )
+        rows = rows.unionByName(prows)
+    plan["phrase_leaves"] = phrase_leaf_ids
+
+    kernel = _segment_kernel_factory(plan, set(scored_ids))
+    hits = rows.repartition("segment").mapInPandas(kernel, schema=_HITS_SCHEMA)
+    return hits, plan
+
+
+def _segment_kernel_factory(plan: dict, scored_leaf_ids: set):
+    def kernel(iterator):
+        # a task may hold several segments; concat then group by segment
+        pdfs = [pdf for pdf in iterator if not pdf.empty]
+        if not pdfs:
+            return
+        data = pd.concat(pdfs, ignore_index=True)
+        for _seg, g in data.groupby("segment", sort=False):
+            leaf_hits: dict = {}
+            leaf_idsets: dict = {}
+            for leaf_id, rows in g.groupby("leaf_id", sort=False):
+                all_ids, all_sc = [], []
+                for _, r in rows.iterrows():
+                    if r["docs_bin"] is not None:
+                        ids, stored = unpack_postings(r["docs_bin"], r["scores_bin"])
+                        ts = _F32(r["term_score"])
+                        fin = (ts * (stored.astype(np.float16).astype(_F32) / _F32(100.0))).astype(_F32)
+                        all_ids.append(ids)
+                        all_sc.append(fin)
+                    elif r["doc_ids"] is not None:
+                        all_ids.append(np.asarray(r["doc_ids"], dtype=np.int64))
+                        all_sc.append(np.zeros(len(r["doc_ids"]), dtype=_F32))
+                if not all_ids:
+                    continue
+                ids = np.concatenate(all_ids)
+                sc = np.concatenate(all_sc)
+                if leaf_id in scored_leaf_ids:
+                    # dedup keep MAX (search_field.rs:449-463)
+                    leaf_hits[leaf_id] = _dedup_max(ids, sc)
+                leaf_idsets[leaf_id] = np.unique(ids)
+            ids, scores = eval_segment(plan, leaf_hits, leaf_idsets)
+            k = plan.get("top")
+            if k is not None and len(ids) > k:
+                # per-segment top-k with the (score DESC, doc_id DESC) order
+                order = np.lexsort((-ids, -scores.astype(np.float64)))[:k]
+                ids, scores = ids[order], scores[order]
+            yield pd.DataFrame({"doc_id": ids.astype(np.int64),
+                                "score": scores.astype(np.float32)})
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# full search result (facets, docs, why-found)
+
+
+def search(index: FulltextIndex, request: dict) -> dict:
+    """Evaluate a request and collect the reference-shaped result:
+    {"num_hits", "data": [{"doc_id","score"}...], "facets": {...}}."""
+    need_all = bool(request.get("facets"))
+    hits, _plan = _search_hits(index, request, need_all=need_all)
+    top = request.get("top", 10)
+    skip = request.get("skip", 0)
+    if need_all:
+        hits = hits.cache()
+        num_hits = hits.count()
+        ranked = hits.orderBy(F.desc("score"), F.desc("doc_id")).limit(top + skip).collect()
+    else:
+        ranked = hits.orderBy(F.desc("score"), F.desc("doc_id")).limit(top + skip).collect()
+        num_hits = None  # only exact when need_all; avoid extra pass
+    ranked = ranked[skip:]
+    out = {
+        "num_hits": num_hits if num_hits is not None else len(ranked),
+        "data": [{"doc_id": r["doc_id"], "score": float(np.float32(r["score"]))}
+                 for r in ranked],
+    }
+    if request.get("facets"):
+        facets = {}
+        for spec in request["facets"]:
+            fld = spec["field"]
+            ftop = spec.get("top", 10)
+            fc = (
+                hits.join(index.docs.select("doc_id", fld), on="doc_id")
+                .groupBy(fld).count()
+                .orderBy(F.desc("count"), F.asc(fld))
+                .limit(ftop).collect()
+            )
+            facets[fld] = [(r[fld], r["count"]) for r in fc]
+        out["facets"] = facets
+        hits.unpersist()
+    if request.get("select"):
+        ids = [d["doc_id"] for d in out["data"]]
+        cols = request["select"]
+        rows = index.docs.where(F.col("doc_id").isin(ids)).select("doc_id", *cols).collect()
+        by_id = {r["doc_id"]: {c: r[c] for c in cols} for r in rows}
+        for d in out["data"]:
+            d["doc"] = by_id.get(d["doc_id"], {})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# suggest (Q19) — dictionary-only prefix/fuzzy match, no posting scan
+# (/root/reference/src/search/search_field.rs:158-230)
+
+
+def suggest(index: FulltextIndex, field: str, prefix: str, *, top: int = 10,
+            levenshtein: int = 0) -> list[tuple[str, float]]:
+    m = match_terms(index, field, prefix, levenshtein=levenshtein, starts_with=True)
+    if m.empty:
+        return []
+    m = m.assign(lower=m["term"].str.lower())
+    # dedup same lowercased text keep max score, sort by score desc
+    best = m.sort_values(["score", "term_id"], ascending=[False, False], kind="mergesort") \
+            .drop_duplicates("lower")
+    best = best.sort_values(["score", "term_id"], ascending=[False, False], kind="mergesort")
+    return [(r["lower"], float(np.float32(r["score"]))) for _, r in best.head(top).iterrows()]
