@@ -1,0 +1,194 @@
+"""Query-string parser + generator tests (semantics per SURVEY.md §2.5) and
+highlight/why-found tests. Parser goldens are hand-derived from the
+documented grammar (whitespace = OR, AND/OR right-assoc no precedence)."""
+
+import pytest
+
+from veloci_spark.query import (
+    Term, auto_levenshtein, parse_query, query_to_request, _flatten,
+)
+
+
+def leaf(node):
+    assert "term" in node
+    return node["term"]
+
+
+class TestParser:
+    def test_single_term(self):
+        t = leaf(parse_query("hello"))
+        assert t.text == "hello" and t.field is None and t.levenshtein is None
+
+    def test_whitespace_is_or(self):
+        ast = parse_query("die erbin")
+        assert "or" in ast
+        assert [leaf(c).text for c in ast["or"]] == ["die", "erbin"]
+
+    def test_explicit_and(self):
+        ast = parse_query("a AND b")
+        assert "and" in ast
+
+    def test_right_assoc_no_precedence(self):
+        # a OR b AND c ⇒ or(a, and(b, c)) (parser.rs:473)
+        ast = parse_query("a OR b AND c")
+        assert "or" in ast
+        rhs = ast["or"][1]
+        assert "and" in rhs
+        assert [leaf(c).text for c in rhs["and"]] == ["b", "c"]
+
+    def test_parens(self):
+        ast = parse_query("(a OR b) AND c")
+        assert "and" in ast
+        assert "or" in ast["and"][0]
+
+    def test_field_term(self):
+        t = leaf(parse_query("lang:de"))
+        assert t.field == "lang" and t.text == "de"
+
+    def test_levenshtein_suffix(self):
+        t = leaf(parse_query("erbin~1"))
+        assert t.levenshtein == 1 and t.text == "erbin"
+
+    def test_quoted_phrase(self):
+        t = leaf(parse_query('"der die das"'))
+        assert t.quoted and t.text == "der die das"
+
+    def test_wildcard_prefix(self):
+        t = leaf(parse_query("majes*"))
+        assert t.starts_with and t.text == "majes"
+
+    def test_flatten(self):
+        ast = _flatten(parse_query("a b c d"))
+        assert [leaf(c).text for c in ast["or"]] == ["a", "b", "c", "d"]
+
+
+class TestAutoLevenshtein:
+    @pytest.mark.parametrize("term,limit,want", [
+        ("ab", 2, 0), ("abc", 2, 1), ("abcde", 2, 1), ("abcdef", 2, 2),
+        ("abcdef", 1, 1),  # default limit caps at 1
+    ])
+    def test_table(self, term, limit, want):
+        assert auto_levenshtein(term, limit) == want
+
+
+class TestGenerator:
+    def test_single_field(self):
+        req = query_to_request("urge", search_fields=["text"])
+        assert req["search_req"] == {
+            "search": {"terms": ["urge"], "levenshtein_distance": 1, "path": "text"}}
+
+    def test_multi_field_expansion(self):
+        req = query_to_request("urge", search_fields=["text", "url"])
+        legs = req["search_req"]["or"]
+        assert [l["search"]["path"] for l in legs] == ["text", "url"]
+
+    def test_adjacent_pairs_become_phrase_boosts(self):
+        req = query_to_request("die erbin", search_fields=["text"],
+                               remove_stopwords=False)
+        pb = req["phrase_boosts"]
+        assert len(pb) == 1
+        assert pb[0]["search1"]["terms"] == ["die"]
+        assert pb[0]["search2"]["terms"] == ["erbin"]
+
+    def test_stopword_removal(self):
+        req = query_to_request("die erbin", search_fields=["text"])
+        # "die" is a DE stopword → single leaf remains
+        assert req["search_req"]["search"]["terms"] == ["erbin"]
+
+    def test_all_stopwords_keeps_query(self):
+        req = query_to_request("die das", search_fields=["text"])
+        assert "or" in req["search_req"] or "search" in req["search_req"]
+
+    def test_explicit_lev_wins(self):
+        req = query_to_request("zzzzzzzz~0", search_fields=["text"])
+        assert req["search_req"]["search"]["levenshtein_distance"] == 0
+
+    def test_field_term_not_expanded(self):
+        req = query_to_request("lang:de", search_fields=["text", "url"],
+                               remove_stopwords=False)
+        assert req["search_req"]["search"]["path"] == "lang"
+
+
+class TestEndToEnd:
+    def test_search_query_phrase_ranking(self, spark_index, ref_index, corpus):
+        from tests.test_search_engine import url_of
+        from veloci_spark import pyref
+        from veloci_spark.query import query_to_request, search_query
+
+        res = search_query(spark_index, "greg tagebuch", search_fields=["text"], top=10)
+        urls = [url_of(corpus, d["doc_id"]) for d in res["data"]]
+        ranked = [u for u in urls if u.startswith("golden/scores/")]
+        # phrase-containing docs outrank the doc with both terms apart
+        assert set(ranked[:2]) == {"golden/scores/00", "golden/scores/02"}
+        assert ranked[2] == "golden/scores/01"
+        # and the generated request is rank-identical to the oracle
+        req = query_to_request("greg tagebuch", search_fields=["text"], top=10)
+        want = pyref.search_request(ref_index, req)
+        assert [d["doc_id"] for d in res["data"]] == [d for d, _ in want]
+
+    def test_search_query_matches_explicit_request(self, spark_index, ref_index):
+        from veloci_spark import pyref
+        from veloci_spark.query import query_to_request, search_query
+
+        res = search_query(spark_index, "urge", search_fields=["text"], top=5)
+        req = query_to_request("urge", search_fields=["text"], top=5)
+        want = pyref.search_request(ref_index, req)
+        assert [d["doc_id"] for d in res["data"]] == [d for d, _ in want]
+
+
+class TestHighlight:
+    def test_basic(self):
+        from veloci_spark.highlight import highlight_text
+
+        out = highlight_text("die erbin ist da", ["erbin"])
+        assert "<b>erbin</b>" in out
+
+    def test_no_match(self):
+        from veloci_spark.highlight import highlight_text
+
+        assert highlight_text("nothing here", ["zzz"]) is None
+
+    def test_snippet_window_and_connector(self):
+        from veloci_spark.highlight import highlight_text
+
+        words = [f"w{i}" for i in range(60)]
+        words[5] = "hit"
+        words[50] = "hit"
+        out = highlight_text(" ".join(words), ["hit"])
+        assert out.count("<b>hit</b>") == 2
+        assert " ... " in out  # two far-apart groups joined by connector
+        assert "w30" not in out  # middle tokens elided
+
+    def test_prolog_golden(self):
+        # tests.rs:951-1007 snippet golden shape
+        from veloci_spark.highlight import highlight_text
+
+        text = ("Prolog:\nthis is a story of a guy who went out to rule the "
+                "world, but then died. the end")
+        out = highlight_text(text, ["story"])
+        assert "<b>story</b>" in out
+        assert out.endswith("...")
+
+    def test_why_found(self, spark_index, corpus):
+        from tests.test_search_engine import url_of
+        from veloci_spark.search import search
+
+        res = search(spark_index, {
+            "or": [{"search": {"terms": ["greg"], "path": "text"}},
+                   {"search": {"terms": ["tagebuch"], "path": "text"}}],
+            "why_found": True, "top": 3})
+        for d in res["data"]:
+            assert d["why_found"], d
+            terms = d["why_found"]["text"]
+            assert set(terms) <= {"greg", "tagebuch"}
+            text = corpus[d["doc_id"]]["text"].lower()
+            for t in terms:
+                assert t in text
+
+    def test_snippets_in_search(self, spark_index):
+        from veloci_spark.search import search
+
+        res = search(spark_index, {
+            "search": {"terms": ["story"], "path": "text"},
+            "snippets": {"field": "text"}, "top": 3})
+        assert any("<b>story</b>" in (d.get("snippet") or "") for d in res["data"])

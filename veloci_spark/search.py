@@ -386,7 +386,7 @@ _HITS_SCHEMA = T.StructType([
 def search_df(index: FulltextIndex, request: dict) -> DataFrame:
     """Evaluate a request; returns ranked DataFrame (doc_id, score) — already
     sorted (score DESC, doc_id DESC) with top/skip applied."""
-    hits, _ = _search_hits(index, request, need_all=False)
+    hits, _plan, _leaves = _search_hits(index, request, need_all=False)
     top = request.get("top", 10)
     skip = request.get("skip", 0)
     ranked = hits.orderBy(F.desc("score"), F.desc("doc_id"))
@@ -423,7 +423,7 @@ def _search_hits(index: FulltextIndex, request: dict, need_all: bool):
     }
     spark = index.spark
     if not matched_rows:
-        return spark.createDataFrame([], schema=_HITS_SCHEMA), plan
+        return spark.createDataFrame([], schema=_HITS_SCHEMA), plan, leaves
 
     matched_df = spark.createDataFrame(
         matched_rows, "field string, term_id long, leaf_id int, term_score float")
@@ -461,7 +461,7 @@ def _search_hits(index: FulltextIndex, request: dict, need_all: bool):
 
     kernel = _segment_kernel_factory(plan, set(scored_ids))
     hits = rows.repartition("segment").mapInPandas(kernel, schema=_HITS_SCHEMA)
-    return hits, plan
+    return hits, plan, leaves
 
 
 def _segment_kernel_factory(plan: dict, scored_leaf_ids: set):
@@ -514,7 +514,7 @@ def search(index: FulltextIndex, request: dict) -> dict:
     """Evaluate a request and collect the reference-shaped result:
     {"num_hits", "data": [{"doc_id","score"}...], "facets": {...}}."""
     need_all = bool(request.get("facets"))
-    hits, _plan = _search_hits(index, request, need_all=need_all)
+    hits, _plan, leaves = _search_hits(index, request, need_all=need_all)
     top = request.get("top", 10)
     skip = request.get("skip", 0)
     if need_all:
@@ -551,6 +551,25 @@ def search(index: FulltextIndex, request: dict) -> dict:
         by_id = {r["doc_id"]: {c: r[c] for c in cols} for r in rows}
         for d in out["data"]:
             d["doc"] = by_id.get(d["doc_id"], {})
+    if request.get("why_found"):
+        from veloci_spark.highlight import why_found as _why
+
+        wf = _why(index, [d["doc_id"] for d in out["data"]], leaves)
+        for d in out["data"]:
+            d["why_found"] = wf.get(d["doc_id"], {})
+    if request.get("snippets"):
+        from veloci_spark.highlight import highlight_text
+
+        spec = request["snippets"]
+        fld = spec.get("field", "text")
+        terms = [t for leaf in leaves if leaf.field == fld
+                 for t in leaf.matched["term"].tolist()]
+        sep = index.fields[fld]["separators"]
+        ids = [d["doc_id"] for d in out["data"]]
+        rows = index.docs.where(F.col("doc_id").isin(ids)).select("doc_id", fld).collect()
+        texts = {r["doc_id"]: r[fld] for r in rows}
+        for d in out["data"]:
+            d["snippet"] = highlight_text(texts.get(d["doc_id"]) or "", terms, sep)
     return out
 
 
