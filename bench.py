@@ -1,0 +1,179 @@
+"""Benchmark harness: index-build throughput + query latency on the webtext
+fulltext engine.
+
+Reads ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1), runs on
+``local[$SPARK_GRAFT_CPUS]`` (default 32), and prints ONE JSON line::
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"build": s, "q01_exact": s, ...}, "sf": <sf>, ...}
+
+Query timings are p50 over N_RUNS repetitions after warmup, covering the
+reference query-shape set (FIXTURES.md §3): exact, fuzzy d=1, OR, AND,
+filtered OR, phrase-boosted, locality, prefix, paging, facet.
+
+``--scaling`` mode runs the identical build at two parallelism levels
+(local[8] vs local[32]) in separate JVMs and reports scaling efficiency —
+the sandbox protocol for the N vs 4N executor criterion (BASELINE.md §3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_RUNS = int(os.environ.get("BENCH_RUNS", "7"))
+WARMUPS = 2
+
+
+def make_spark(cpus: int):
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("veloci-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+QUERY_SHAPES: dict[str, dict] = {
+    "q01_exact": {"search": {"terms": ["spark"], "path": "text"}, "top": 10},
+    "q02_fuzzy": {"search": {"terms": ["spork"], "path": "text",
+                             "levenshtein_distance": 1}, "top": 10},
+    "q03_or": {"or": [{"search": {"terms": ["spark"], "path": "text"}},
+                      {"search": {"terms": ["query"], "path": "text"}}], "top": 10},
+    "q04_and": {"and": [{"search": {"terms": ["spark"], "path": "text"}},
+                        {"search": {"terms": ["query"], "path": "text"}}], "top": 10},
+    "q05_filtered": {"or": [{"search": {"terms": ["spark"], "path": "text"}},
+                            {"search": {"terms": ["join"], "path": "text"}}],
+                     "filter": {"search": {"terms": ["en"], "path": "lang"}},
+                     "top": 10},
+    "q06_phrase": {"search": {"terms": ["query"], "path": "text"},
+                   "phrase_boosts": [{"path": "text",
+                                      "search1": {"terms": ["spark"], "path": "text"},
+                                      "search2": {"terms": ["query"], "path": "text"}}],
+                   "top": 10},
+    "q07_locality": {"or": [{"search": {"terms": ["spark"], "path": "text"}},
+                            {"search": {"terms": ["scan"], "path": "text"}}],
+                     "text_locality": True, "top": 10},
+    "q09_prefix": {"search": {"terms": ["sc"], "path": "text",
+                              "starts_with": True}, "top": 10},
+    "q10_paging": {"search": {"terms": ["table"], "path": "text"},
+                   "top": 5, "skip": 10},
+    "q11_facet": {"search": {"terms": ["spark"], "path": "text"},
+                  "facets": [{"field": "lang", "top": 5}], "top": 10},
+}
+
+
+def run_build(spark, sf_dir: str, index_dir: str):
+    from veloci_spark.build import build_index
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from __spark_entry__ import _docs_config
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()  # warm the scan before timing
+    t0 = time.time()
+    build_index(spark, docs, _docs_config(), index_dir)
+    dt = time.time() - t0
+    return n_docs, dt
+
+
+def run_queries(spark, index_dir: str) -> dict[str, float]:
+    from veloci_spark.search import FulltextIndex, search
+
+    idx = FulltextIndex(spark, index_dir).cache()
+    timings: dict[str, float] = {}
+    for name, req in QUERY_SHAPES.items():
+        for _ in range(WARMUPS):
+            search(idx, req)
+        samples = []
+        for _ in range(N_RUNS):
+            t0 = time.time()
+            search(idx, req)
+            samples.append(time.time() - t0)
+        timings[name] = statistics.median(samples)
+    return timings
+
+
+def main_bench():
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.0
+    index_dir = f"/tmp/veloci_bench_idx_{os.getpid()}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    t_total = time.time()
+    n_docs, build_sec = run_build(spark, SF_DIR, index_dir)
+    q = run_queries(spark, index_dir)
+    total = time.time() - t_total
+    out = {
+        "metric": "index-build + top-10 ranked-search wall time (webtext fulltext engine)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {"build": round(build_sec, 3),
+                    **{k: round(v, 4) for k, v in q.items()}},
+        "sf": sf,
+        "n_docs": n_docs,
+        "build_docs_per_sec": round(n_docs / build_sec, 1),
+        "cpus": CPUS,
+        "query_p50_sec": round(statistics.median(list(q.values())), 4),
+    }
+    spark.stop()
+    shutil.rmtree(index_dir, ignore_errors=True)
+    print(json.dumps(out))
+
+
+def main_scaling():
+    """Run the identical build job at local[8] and local[32]; report
+    throughput at both + scaling efficiency (BASELINE.md §3 protocol)."""
+    results = {}
+    for cpus in (8, 32):
+        code = (
+            "import bench, json, shutil, time, os;"
+            f"spark = bench.make_spark({cpus});"
+            "spark.sparkContext.setLogLevel('ERROR');"
+            f"d = '/tmp/veloci_scale_idx_{os.getpid()}_%d' % {cpus};"
+            "shutil.rmtree(d, ignore_errors=True);"
+            f"n, dt = bench.run_build(spark, {SF_DIR!r}, d);"
+            "print('RESULT ' + json.dumps({'cpus': %d, 'n_docs': n, 'sec': dt}));"
+            "spark.stop(); shutil.rmtree(d, ignore_errors=True)" % cpus
+        )
+        env = dict(os.environ, SPARK_LOCAL_IP="127.0.0.1",
+                   PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
+        p = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, env=env, timeout=3600)
+        line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")]
+        if not line:
+            print(p.stdout[-2000:], p.stderr[-2000:], file=sys.stderr)
+            sys.exit(1)
+        r = json.loads(line[0][len("RESULT "):])
+        results[r["cpus"]] = r
+    t8 = results[8]["n_docs"] / results[8]["sec"]
+    t32 = results[32]["n_docs"] / results[32]["sec"]
+    eff = (t32 / t8) / 4.0
+    print(json.dumps({
+        "sf_dir": SF_DIR,
+        "n_docs": results[8]["n_docs"],
+        "local8": {"sec": round(results[8]["sec"], 2), "docs_per_sec": round(t8, 1)},
+        "local32": {"sec": round(results[32]["sec"], 2), "docs_per_sec": round(t32, 1)},
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_bench()
