@@ -131,6 +131,31 @@ def test_request_matches_oracle(spark_index, ref_index, req):
         assert gs == ws, (gd, gs, ws)
 
 
+@pytest.mark.parametrize("term,kw", [
+    ("urge", {}),
+    ("majestätischer", {"levenshtein": 1}),
+    ("majes", {"starts_with": True}),
+    ("majestätisch", {"levenshtein": 1, "starts_with": True}),
+    (".*myfun.*", {"is_regex": True}),
+    ("tagebuch", {"top": 3}),
+])
+def test_distributed_dict_matches_local(spark_index, spark, term, kw):
+    """The Spark-job dictionary path (big-dict fallback) must select and
+    score identically to the driver-local fast path."""
+    from veloci_spark.search import FulltextIndex, match_terms
+
+    dist = FulltextIndex(spark, spark_index.index_dir, local_dict_max_terms=0)
+    a = match_terms(spark_index, "text", term, **kw)
+    b = match_terms(dist, "text", term, **kw)
+    key = ["term", "term_id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert list(a["term"]) == list(b["term"])
+    assert list(a["term_id"]) == list(b["term_id"])
+    assert list(a["distance"]) == list(b["distance"])
+    assert list(np.float32(a["score"])) == list(np.float32(b["score"]))
+
+
 # ---------------------------------------------------------------------------
 # golden ranking assertions (independent of both implementations)
 

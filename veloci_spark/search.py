@@ -49,10 +49,18 @@ from veloci_spark import pyref
 _F32 = np.float32
 
 
+# dictionaries up to this many terms are pulled to the driver once and term
+# matching becomes a local vectorized operation (the reference mmaps its FST
+# per-process the same way, /root/reference/src/persistence.rs:390-409);
+# larger dictionaries stay distributed and matching runs as Spark jobs.
+LOCAL_DICT_MAX_TERMS = 2_000_000
+
+
 class FulltextIndex:
     """Handle on a built index directory."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 local_dict_max_terms: int = LOCAL_DICT_MAX_TERMS):
         self.spark = spark
         self.index_dir = index_dir
         self.manifest = load_manifest(index_dir)
@@ -61,12 +69,30 @@ class FulltextIndex:
         self.phrase = spark.read.parquet(f"{index_dir}/phrase")
         self.docs = spark.read.parquet(f"{index_dir}/docs")
         self.fields = {f["name"]: f for f in self.manifest["fields"]}
+        self._local_dict_max_terms = local_dict_max_terms
+        self._local_dict: dict[str, pd.DataFrame] | None = None
 
     def cache(self):
         """Pin the dictionary + postings (the reference's LoadingType=InMemory)."""
         self.dict_df.cache().count()
         self.postings.cache().count()
         return self
+
+    def local_dict(self, field: str) -> "pd.DataFrame | None":
+        """Per-field driver-side dictionary (term, term_id, lower) sorted by
+        term, or None when the dictionary exceeds the local threshold."""
+        if self.manifest["n_terms"] > self._local_dict_max_terms:
+            return None
+        if self._local_dict is None:
+            full = self.dict_df.toPandas()
+            self._local_dict = {}
+            for fld, g in full.groupby("field"):
+                g = g.sort_values("term_id", kind="mergesort").reset_index(drop=True)
+                g["lower"] = g["term"].str.lower()
+                self._local_dict[fld] = g
+        return self._local_dict.get(
+            field, pd.DataFrame(columns=["field", "term", "num_occurences",
+                                         "term_id", "lower"]))
 
 
 # ---------------------------------------------------------------------------
@@ -82,12 +108,17 @@ def match_terms(index: FulltextIndex, field: str, term: str, *,
     Returns a pandas DataFrame (term, term_id, distance, prefix, score) —
     small by construction (dictionary hits only).
     """
-    d = index.dict_df.where(F.col("field") == field)
     lower = term.lower()
     n_chars = max(len(lower), 1)
     d_auto = min(levenshtein, n_chars - 1, 4)
     check_prefix = starts_with or levenshtein != 0
 
+    local = index.local_dict(field)
+    if local is not None:
+        return _match_terms_local(local, lower, n_chars, d_auto, check_prefix,
+                                  term, starts_with, is_regex, top, skip)
+
+    d = index.dict_df.where(F.col("field") == field)
     if is_regex:
         pat = term
 
@@ -138,6 +169,52 @@ def match_terms(index: FulltextIndex, field: str, term: str, *,
                         "distance": dist, "prefix": prefix, "score": score})
     if top is not None:
         # matched-term truncation (search_field.rs:292-331,373-376)
+        out = out.sort_values(["score", "term_id"], ascending=[False, False],
+                              kind="mergesort").head(top + skip)
+    return out.reset_index(drop=True)
+
+
+def _match_terms_local(local: pd.DataFrame, lower: str, n_chars: int,
+                       d_auto: int, check_prefix: bool, term: str,
+                       starts_with: bool, is_regex: bool,
+                       top: int | None, skip: int) -> pd.DataFrame:
+    """Driver-side dictionary match (vectorized over the sorted local dict);
+    selection semantics identical to the distributed path."""
+    import re as _re
+
+    tl = local["lower"]
+    if is_regex:
+        rx = _re.compile(term, _re.IGNORECASE)
+        if starts_with:
+            sel = local["term"].map(lambda s: rx.match(s) is not None).values
+        else:
+            sel = local["term"].map(lambda s: rx.fullmatch(s) is not None).values
+    elif starts_with:
+        if d_auto == 0:
+            sel = tl.str.startswith(lower).values
+        else:
+            sel = np.array([pyref._prefix_lev(s, lower) <= d_auto
+                            for s in tl.values], dtype=bool)
+    elif d_auto == 0:
+        sel = (tl == lower).values
+    else:
+        lens = tl.str.len().values
+        band = (np.abs(lens - n_chars) <= d_auto)
+        sel = np.zeros(len(local), dtype=bool)
+        if band.any():
+            cand = tl.values[band]
+            sel[np.flatnonzero(band)] = levenshtein_batch(list(cand), lower, d_auto) <= d_auto
+    hit = local[sel]
+    if hit.empty:
+        return pd.DataFrame(columns=["term", "term_id", "distance", "prefix", "score"])
+    tlh = hit["lower"].values
+    dist = np.where(tlh == lower, 0,
+                    levenshtein_batch(list(tlh), lower, 254)).astype(np.int64)
+    prefix = np.array([check_prefix and s.startswith(lower) for s in tlh], dtype=bool)
+    score = term_score(dist, prefix)
+    out = pd.DataFrame({"term": hit["term"].values, "term_id": hit["term_id"].values,
+                        "distance": dist, "prefix": prefix, "score": score})
+    if top is not None:
         out = out.sort_values(["score", "term_id"], ascending=[False, False],
                               kind="mergesort").head(top + skip)
     return out.reset_index(drop=True)
