@@ -135,20 +135,55 @@ def main_bench():
     print(json.dumps(out))
 
 
+def materialize_synth_corpus(n_docs: int, parts: int = 64) -> str:
+    """Deterministic synthetic webtext corpus (seed 42) written once to /tmp
+    parquet — the shared input for both scaling runs ("same job, same
+    input"). Larger than the driver testdata so parallelism, not fixed
+    per-stage overhead, dominates."""
+    path = f"/tmp/veloci_scale_corpus_{n_docs}"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    from veloci_spark.synth import generate_df, generate_df_distributed
+
+    if n_docs > 50_000:
+        df = generate_df_distributed(spark, n_docs, num_partitions=parts)
+    else:
+        df = generate_df(spark, n_docs, num_partitions=parts)
+    df.write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def run_build_synth(spark, corpus_path: str, index_dir: str):
+    from veloci_spark.build import build_index
+    from veloci_spark.config import webtext_config
+
+    docs = spark.read.parquet(corpus_path)
+    n_docs = docs.count()
+    t0 = time.time()
+    build_index(spark, docs, webtext_config(segment_docs=1 << 16), index_dir)
+    return n_docs, time.time() - t0
+
+
 def main_scaling():
-    """Run the identical build job at local[8] and local[32]; report
-    throughput at both + scaling efficiency (BASELINE.md §3 protocol)."""
+    """Run the identical build job at local[8] and local[32] in separate
+    JVMs on the same materialized corpus; report throughput at both +
+    scaling efficiency (BASELINE.md §3 protocol for the N vs 4N rule)."""
+    n_docs = int(os.environ.get("SCALE_DOCS", "100000"))
+    corpus = materialize_synth_corpus(n_docs)
     results = {}
     for cpus in (8, 32):
         code = (
-            "import bench, json, shutil, time, os;"
+            "import bench, json, shutil, os;"
             f"spark = bench.make_spark({cpus});"
             "spark.sparkContext.setLogLevel('ERROR');"
-            f"d = '/tmp/veloci_scale_idx_{os.getpid()}_%d' % {cpus};"
+            f"d = '/tmp/veloci_scale_idx_{os.getpid()}_{cpus}';"
             "shutil.rmtree(d, ignore_errors=True);"
-            f"n, dt = bench.run_build(spark, {SF_DIR!r}, d);"
-            "print('RESULT ' + json.dumps({'cpus': %d, 'n_docs': n, 'sec': dt}));"
-            "spark.stop(); shutil.rmtree(d, ignore_errors=True)" % cpus
+            f"n, dt = bench.run_build_synth(spark, {corpus!r}, d);"
+            f"print('RESULT ' + json.dumps({{'cpus': {cpus}, 'n_docs': n, 'sec': dt}}));"
+            "spark.stop(); shutil.rmtree(d, ignore_errors=True)"
         )
         env = dict(os.environ, SPARK_LOCAL_IP="127.0.0.1",
                    PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
@@ -164,7 +199,7 @@ def main_scaling():
     t32 = results[32]["n_docs"] / results[32]["sec"]
     eff = (t32 / t8) / 4.0
     print(json.dumps({
-        "sf_dir": SF_DIR,
+        "corpus": corpus,
         "n_docs": results[8]["n_docs"],
         "local8": {"sec": round(results[8]["sec"], 2), "docs_per_sec": round(t8, 1)},
         "local32": {"sec": round(results[32]["sec"], 2), "docs_per_sec": round(t32, 1)},

@@ -1,0 +1,61 @@
+"""spark-submit entry point for the index build (north_rule: the pipeline
+runs via ``spark-submit --py-files`` on a multi-executor cluster).
+
+Usage::
+
+    python tools/make_pyfiles_zip.py            # → /tmp/veloci_spark.zip
+    spark-submit --master local[8] \
+        --py-files /tmp/veloci_spark.zip \
+        jobs/build_index_job.py \
+        --input /path/to/webtext_parquet --output /tmp/idx \
+        [--doc-id-col doc_id] [--segment-docs 1048576]
+
+The job is resumable: re-submitting with the same ``--output`` skips
+completed stages (stage markers) and the checkpoints/ directory carries the
+per-task lineage + metrics from every attempt.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet dir of webtext docs")
+    ap.add_argument("--output", required=True, help="index directory")
+    ap.add_argument("--doc-id-col", default=None,
+                    help="pre-existing doc id column (else ids derive from --order-col)")
+    ap.add_argument("--order-col", default="url")
+    ap.add_argument("--segment-docs", type=int, default=1 << 20)
+    ap.add_argument("--fields", default="text",
+                    help="comma-separated tokenized fields")
+    ap.add_argument("--facet-fields", default="lang",
+                    help="comma-separated untokenized fields")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("veloci-build-index").getOrCreate()
+
+    from veloci_spark.build import build_index
+    from veloci_spark.config import FieldConfig, IndexConfig
+
+    fields = tuple(
+        [FieldConfig(f) for f in args.fields.split(",") if f]
+        + [FieldConfig(f, tokenize=False, phrase_pairs=False, token_texts=False)
+           for f in args.facet_fields.split(",") if f]
+    )
+    config = IndexConfig(fields=fields, doc_id_col=args.doc_id_col,
+                         order_col=args.order_col, segment_docs=args.segment_docs)
+    docs = spark.read.parquet(args.input)
+    manifest = build_index(spark, docs, config, args.output)
+    json.dump(manifest, sys.stdout, indent=2)
+    print()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -187,6 +187,114 @@ def token_rows(docs: DataFrame, field: str, separators: str) -> DataFrame:
     return docs.select("doc_id", field).mapInPandas(explode_tokens, schema=_TOKEN_SCHEMA)
 
 
+_ENTRY_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("token", T.StringType()),
+    T.StructField("best_pos", T.IntegerType()),
+    T.StructField("n_tokens", T.IntegerType()),
+    T.StructField("cnt", T.IntegerType()),
+])
+
+
+def token_entry_rows(docs: DataFrame, field: str, separators: str) -> DataFrame:
+    """Per-(doc, token) aggregated token entries in ONE pass:
+    (doc_id, token, best_pos, n_tokens, cnt).
+
+    The per-doc grouping (best/first position per token, in-doc occurrence
+    count) is doc-local, so it runs inside the tokenize kernel instead of a
+    cluster-wide ``groupBy(doc_id, token)`` — at 10^12 docs that removes a
+    full shuffle of every token occurrence. ``cnt`` feeds the corpus-wide
+    ``num_occurences`` (sum), ``best_pos`` the score formula
+    (/root/reference/src/create/calculate_score.rs:13-29 keeps only the
+    first position per token).
+    """
+    pattern = _runs_re(separators).pattern
+
+    def entries(iterator):
+        import re as _re
+
+        rx = _re.compile(pattern)
+        for pdf in iterator:
+            ids_out, tok_out, pos_out, ntok_out, cnt_out = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf[field].values):
+                if not text:
+                    continue
+                runs = rx.findall(text)
+                n = len(runs)
+                if n < 2:
+                    continue
+                best: dict[str, int] = {}
+                cnt: dict[str, int] = {}
+                for pos, tok in enumerate(runs):
+                    if tok not in best:
+                        best[tok] = pos
+                        cnt[tok] = 1
+                    else:
+                        cnt[tok] += 1
+                k = len(best)
+                ids_out.extend([doc_id] * k)
+                tok_out.extend(best.keys())
+                pos_out.extend(best.values())
+                ntok_out.extend([n] * k)
+                cnt_out.extend(cnt.values())
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids_out, dtype="int64"),
+                "token": pd.Series(tok_out, dtype="object"),
+                "best_pos": pd.Series(pos_out, dtype="int32"),
+                "n_tokens": pd.Series(ntok_out, dtype="int32"),
+                "cnt": pd.Series(cnt_out, dtype="int32"),
+            })
+
+    return docs.select("doc_id", field).mapInPandas(entries, schema=_ENTRY_SCHEMA)
+
+
+_PAIR_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("tok_a", T.StringType()),
+    T.StructField("tok_b", T.StringType()),
+])
+
+
+def pair_rows(docs: DataFrame, field: str, separators: str) -> DataFrame:
+    """Distinct adjacent non-separator token pairs per doc, emitted directly
+    from the tokenize kernel (doc-local — replaces a window ``lag`` shuffle
+    over every token occurrence; semantics of
+    /root/reference/src/create.rs:251-263)."""
+    pattern = _runs_re(separators).pattern
+
+    def pairs(iterator):
+        import re as _re
+
+        rx = _re.compile(pattern)
+        seps = _sep_set(separators)
+        for pdf in iterator:
+            ids_out, a_out, b_out = [], [], []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf[field].values):
+                if not text:
+                    continue
+                runs = rx.findall(text)
+                if len(runs) < 2:
+                    continue
+                seen = set()
+                prev = None
+                for tok in runs:
+                    if tok[0] in seps:
+                        continue
+                    if prev is not None and (prev, tok) not in seen:
+                        seen.add((prev, tok))
+                        ids_out.append(doc_id)
+                        a_out.append(prev)
+                        b_out.append(tok)
+                    prev = tok
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids_out, dtype="int64"),
+                "tok_a": pd.Series(a_out, dtype="object"),
+                "tok_b": pd.Series(b_out, dtype="object"),
+            })
+
+    return docs.select("doc_id", field).mapInPandas(pairs, schema=_PAIR_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # helpers: global rank per field (term ids)
 
@@ -347,14 +455,17 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
     n_docs = docs.count()
 
     # ---- stage: tokens ---------------------------------------------------
-    # materialize token rows once; reused by stats, postings, phrase stages
+    # one tokenize pass emitting per-(doc, token) aggregated entries
+    # (doc-local grouping inside the kernel — no shuffle of raw occurrences);
+    # materialized once, reused by the dict and postings stages
     tokens_path = os.path.join(index_dir, "_tokens")
     tokenized_fields = [fc for fc in config.fields if fc.tokenize]
     if not _stage_done(index_dir, "tokens"):
         t0 = time.time()
         parts = []
         for fc in tokenized_fields:
-            parts.append(token_rows(docs, fc.name, fc.separators).withColumn("field", F.lit(fc.name)))
+            parts.append(token_entry_rows(docs, fc.name, fc.separators)
+                         .withColumn("field", F.lit(fc.name)))
         if parts:
             all_tokens = parts[0]
             for p in parts[1:]:
@@ -362,7 +473,7 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
             all_tokens.write.mode("overwrite").parquet(tokens_path)
         else:
             spark.createDataFrame([], schema=T.StructType(
-                _TOKEN_SCHEMA.fields + [T.StructField("field", T.StringType())]
+                _ENTRY_SCHEMA.fields + [T.StructField("field", T.StringType())]
             )).write.mode("overwrite").parquet(tokens_path)
         dt = time.time() - t0
         _write_checkpoint(index_dir, "tokenize", 0, {
@@ -382,22 +493,26 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
 
     # ---- stage: dict (term stats + ids) ----------------------------------
     dict_path = os.path.join(index_dir, "dict")
+    occ_path = os.path.join(index_dir, "_occ")
     if not _stage_done(index_dir, "dict"):
         t0 = time.time()
         # num_occurences = corpus-wide frequency: once per token occurrence
         # + once per storable full-text occurrence (create_fulltext.rs:81-111)
-        token_counts = tokens.groupBy("field", "token").agg(F.count("*").alias("cnt")) \
+        token_counts = tokens.groupBy("field", "token").agg(F.sum("cnt").alias("cnt")) \
             .withColumnRenamed("token", "term")
         text_parts = [storable_texts(fc).groupBy("field", "term").agg(F.count("*").alias("cnt"))
                       for fc in config.fields]
         counts = token_counts
         for p in text_parts:
             counts = counts.unionByName(p)
-        occurrences = counts.groupBy("field", "term").agg(F.sum("cnt").alias("num_occurences"))
-        with_ids = _assign_term_ids(occurrences, num_partitions)
-        # sorted parquet per field → range-scannable dictionary (FST analog)
-        with_ids.repartitionByRange(num_partitions, "field", "term") \
-            .sortWithinPartitions("field", "term") \
+        # materialize the counts before range partitioning: repartitionByRange
+        # SAMPLES its input, which would recompute the aggregation twice
+        counts.groupBy("field", "term").agg(F.sum("cnt").alias("num_occurences")) \
+            .write.mode("overwrite").parquet(occ_path)
+        occurrences = spark.read.parquet(occ_path)
+        # _assign_term_ids output is already range-partitioned + sorted by
+        # (field, term) — write as-is (FST-analog sorted dictionary files)
+        _assign_term_ids(occurrences, num_partitions) \
             .write.mode("overwrite").parquet(dict_path)
         _mark_stage(index_dir, "dict", wall_sec=time.time() - t0)
     term_dict = spark.read.parquet(dict_path)
@@ -415,12 +530,11 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
                                 is_exact.values)
             return pd.Series(s.astype(np.int64))
 
-        # token entries: best (min) position per (doc, token)
-        # (/root/reference/src/create/calculate_score.rs:13-29)
+        # token entries are already per-(doc, token) aggregated in the
+        # tokenize kernel (best/first position per token)
         token_entries = (
-            tokens.groupBy("field", "doc_id", "token")
-            .agg(F.min("pos").alias("best_pos"), F.first("n_tokens").alias("n_tokens"))
-            .withColumnRenamed("token", "term")
+            tokens.select("field", "doc_id", F.col("token").alias("term"),
+                          "best_pos", "n_tokens")
             .withColumn("is_exact", F.lit(False))
         )
         text_entries_parts = [
@@ -435,17 +549,24 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
         for p in text_entries_parts:
             entries = entries.unionByName(p)
 
+        dict_side = term_dict.select("field", "term", "term_id", "num_occurences")
+        if term_dict.count() <= 5_000_000:
+            # dictionaries are typically tiny next to the posting stream —
+            # broadcast them so the scoring join has no shuffle at all
+            dict_side = F.broadcast(dict_side)
         scored = (
-            entries.join(term_dict.select("field", "term", "term_id", "num_occurences"),
-                         on=["field", "term"], how="inner")
+            entries.join(dict_side, on=["field", "term"], how="inner")
             .withColumn("score", score_udf("best_pos", "num_occurences", "n_tokens", "is_exact"))
             # duplicate (term, doc) scores are summed (create.rs:388-413)
             .groupBy("field", "term_id", "doc_id")
             .agg(F.sum("score").alias("score"))
             .withColumn("segment", (F.col("doc_id") / F.lit(segment_docs)).cast("int"))
         )
+        # hash repartition (NOT range — range sampling would recompute the
+        # whole scored plan twice); the pack kernel only needs each
+        # (field, term_id, segment) group whole in one partition + sorted
         packed = (
-            scored.repartitionByRange(num_partitions, "field", "term_id", "segment")
+            scored.repartition(num_partitions, "field", "term_id", "segment")
             .sortWithinPartitions("field", "term_id", "segment", "doc_id")
             .mapInPandas(_pack_partition_factory(index_dir, config.posting_block_docs),
                          schema=_POSTING_SCHEMA)
@@ -459,12 +580,16 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
     if not _stage_done(index_dir, "phrase"):
         t0 = time.time()
         if phrase_fields:
-            nonsep = tokens.where(~F.col("is_sep")).where(F.col("field").isin(phrase_fields))
-            w = Window.partitionBy("field", "doc_id").orderBy("pos")
+            parts = []
+            for fc in config.fields:
+                if fc.name in phrase_fields:
+                    parts.append(pair_rows(docs, fc.name, fc.separators)
+                                 .withColumn("field", F.lit(fc.name)))
+            pairs_raw = parts[0]
+            for p in parts[1:]:
+                pairs_raw = pairs_raw.unionByName(p)
             pairs = (
-                nonsep.withColumn("tok_a", F.lag("token").over(w))
-                .where(F.col("tok_a").isNotNull())
-                .select("field", "tok_a", F.col("token").alias("tok_b"), "doc_id")
+                pairs_raw
                 .withColumn("segment", (F.col("doc_id") / F.lit(segment_docs)).cast("int"))
                 .groupBy("field", "tok_a", "tok_b", "segment")
                 .agg(F.sort_array(F.collect_set("doc_id")).alias("doc_ids"))

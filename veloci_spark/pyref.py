@@ -374,4 +374,23 @@ def search_request(index: "RefIndex", request: dict):
                 nf = np.float32(n)
                 hits[d] = np.float32(hits[d] * np.float32(2.0) * nf * nf)
 
+    # anchor boost-by-field (Q13) — applied after kernel-side boosts, same
+    # order as the engine (_apply_anchor_boosts runs post-kernel)
+    for spec in request.get("boost", []):
+        from veloci_spark.scoring import boost_value_score, eval_boost_expression
+
+        col = spec["path"]
+        values_by_doc = {d["doc_id"]: d.get(col) for d in index.docs}
+        for doc in list(hits):
+            v = values_by_doc.get(doc)
+            v = np.float64("nan") if v is None else float(v)
+            if spec.get("expression") is not None:
+                hits[doc] = np.float32(eval_boost_expression(
+                    spec["expression"], [hits[doc]], [v])[0])
+            else:
+                hits[doc] = np.float32(boost_value_score(
+                    [hits[doc]], [v], spec.get("boost_fun", "Log10"),
+                    float(spec.get("param", 0.0)))[0])
+
+
     return top_k(hits, request.get("top", 10), request.get("skip", 0))

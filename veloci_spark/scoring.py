@@ -33,6 +33,8 @@ float32 path for reference parity.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 _F32 = np.float32
@@ -91,6 +93,106 @@ def final_score(term_score_f32, stored_u32) -> np.ndarray:
     """final = term_score * (f16(stored)/100), float32."""
     ts = np.asarray(term_score_f32, dtype=_F32)
     return (ts * (f16_roundtrip(stored_u32) / _F32(100.0))).astype(_F32)
+
+
+def boost_value_score(scores, values, fun: str = "Log10", param: float = 0.0) -> np.ndarray:
+    """Boost-by-indexed-field (Q13) — semantics of the reference apply_boost
+    (/root/reference/src/search/boost.rs:283-366): per hit with a boost value
+    v, the score is combined with f(v + param):
+
+        Log10    → score * log10(v + p)
+        Log2     → score * log2(v + p)
+        Multiply → score * (v + p)
+        Add      → score + (v + p)
+
+    float32 throughout; NaN boost values leave the score unchanged.
+    """
+    s = np.asarray(scores, dtype=_F32)
+    v = np.asarray(values, dtype=_F32) + _F32(param)
+    if fun == "Log10":
+        out = s * np.log10(v, dtype=_F32)
+    elif fun == "Log2":
+        out = s * np.log2(v, dtype=_F32)
+    elif fun == "Multiply":
+        out = s * v
+    elif fun == "Add":
+        out = s + v
+    else:
+        raise ValueError(f"unknown boost_fun: {fun}")
+    return np.where(np.isnan(v), s, out).astype(_F32)
+
+
+class _ExprParser:
+    """Mini expression DSL for score boosts — the role of the reference's
+    expression language (`10 / $SCORE`, /root/reference/src/expression.rs:24-99).
+    Grammar: numbers, $SCORE, $VALUE, + - * / with usual precedence, parens.
+    Evaluation is vectorized float32."""
+
+    def __init__(self, text: str):
+        self.toks = re.findall(r"\$SCORE|\$VALUE|\d+\.?\d*|[()+\-*/]", text)
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def expr(self):
+        node = self.term()
+        while self.peek() in ("+", "-"):
+            op = self.toks[self.i]
+            self.i += 1
+            rhs = self.term()
+            node = (op, node, rhs)
+        return node
+
+    def term(self):
+        node = self.atom()
+        while self.peek() in ("*", "/"):
+            op = self.toks[self.i]
+            self.i += 1
+            rhs = self.atom()
+            node = (op, node, rhs)
+        return node
+
+    def atom(self):
+        t = self.peek()
+        if t == "(":
+            self.i += 1
+            node = self.expr()
+            if self.peek() == ")":
+                self.i += 1
+            return node
+        self.i += 1
+        return t
+
+
+def eval_boost_expression(expression: str, scores, values) -> np.ndarray:
+    """Evaluate the boost expression per hit: $SCORE = current score,
+    $VALUE = the boost field value. float32."""
+    s = np.asarray(scores, dtype=_F32)
+    v = np.asarray(values, dtype=_F32)
+    ast = _ExprParser(expression).expr()
+
+    def ev(node):
+        if isinstance(node, tuple):
+            op, a, b = node
+            a, b = ev(a), ev(b)
+            if op == "+":
+                return (a + b).astype(_F32)
+            if op == "-":
+                return (a - b).astype(_F32)
+            if op == "*":
+                return (a * b).astype(_F32)
+            return (a / b).astype(_F32)
+        if node == "$SCORE":
+            return s
+        if node == "$VALUE":
+            return v
+        return _F32(float(node))
+
+    out = ev(ast)
+    if np.isscalar(out) or out.ndim == 0:
+        out = np.full(len(s), out, dtype=_F32)
+    return np.where(np.isnan(v), s, out).astype(_F32)
 
 
 def levenshtein_batch(terms, query: str, max_d: int) -> np.ndarray:

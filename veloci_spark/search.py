@@ -460,10 +460,43 @@ _HITS_SCHEMA = T.StructType([
 ])
 
 
+def _apply_anchor_boosts(index: FulltextIndex, hits: DataFrame,
+                         request: dict) -> DataFrame:
+    """Boost-by-field (Q13): join the boost column from the doc store and
+    combine per the boost function / expression DSL — float32 pandas UDF.
+    Applied after the kernel, before the global ranking."""
+    from veloci_spark.scoring import boost_value_score, eval_boost_expression
+
+    def make_udf(fun: str, param: float, expression):
+        @F.pandas_udf("float")
+        def boosted(score: pd.Series, value: pd.Series) -> pd.Series:
+            vals = value.astype("float64").values  # NaN where missing
+            if expression is not None:
+                out = eval_boost_expression(expression, score.values, vals)
+            else:
+                out = boost_value_score(score.values, vals, fun, param)
+            return pd.Series(out)
+
+        return boosted
+
+    for spec in request.get("boost", []):
+        col = spec["path"]
+        boosted = make_udf(spec.get("boost_fun", "Log10"),
+                           float(spec.get("param", 0.0)), spec.get("expression"))
+        boost_df = index.docs.select("doc_id", F.col(col).cast("double").alias("_bv"))
+        hits = (
+            hits.join(boost_df, on="doc_id", how="left")
+            .withColumn("score", boosted(F.col("score"), F.col("_bv")))
+            .drop("_bv")
+        )
+    return hits
+
+
 def search_df(index: FulltextIndex, request: dict) -> DataFrame:
     """Evaluate a request; returns ranked DataFrame (doc_id, score) — already
     sorted (score DESC, doc_id DESC) with top/skip applied."""
     hits, _plan, _leaves = _search_hits(index, request, need_all=False)
+    hits = _apply_anchor_boosts(index, hits, request)
     top = request.get("top", 10)
     skip = request.get("skip", 0)
     ranked = hits.orderBy(F.desc("score"), F.desc("doc_id"))
@@ -480,7 +513,10 @@ def _search_hits(index: FulltextIndex, request: dict, need_all: bool):
 
     top = request.get("top", 10)
     skip = request.get("skip", 0)
-    emit_all = need_all or bool(request.get("facets")) or request.get("why_found")
+    # anchor boosts (Q13) reorder scores post-kernel → per-segment top-k
+    # truncation would be unsound; emit full hit sets in that case
+    emit_all = (need_all or bool(request.get("facets"))
+                or bool(request.get("why_found")) or bool(request.get("boost")))
 
     # kernel input: postings rows for matched terms, tagged with leaf_id
     matched_rows = []  # (field, term_id, leaf_id, term_score)
@@ -592,6 +628,7 @@ def search(index: FulltextIndex, request: dict) -> dict:
     {"num_hits", "data": [{"doc_id","score"}...], "facets": {...}}."""
     need_all = bool(request.get("facets"))
     hits, _plan, leaves = _search_hits(index, request, need_all=need_all)
+    hits = _apply_anchor_boosts(index, hits, request)
     top = request.get("top", 10)
     skip = request.get("skip", 0)
     if need_all:
@@ -648,6 +685,29 @@ def search(index: FulltextIndex, request: dict) -> dict:
         for d in out["data"]:
             d["snippet"] = highlight_text(texts.get(d["doc_id"]) or "", terms, sep)
     return out
+
+
+# ---------------------------------------------------------------------------
+# doc fetch (Q23) — the source table IS the doc store; fetch by id is a
+# pruned scan (reference binary-searches LZ4 blocks, doc_store/src/lib.rs:19-53)
+
+
+def get_docs(index: FulltextIndex, doc_ids: list[int],
+             columns: list[str] | None = None) -> list[dict]:
+    """Fetch documents by id, in the requested id order."""
+    if not doc_ids:
+        return []
+    df = index.docs.where(F.col("doc_id").isin([int(d) for d in doc_ids]))
+    if columns:
+        df = df.select("doc_id", *columns)
+    rows = {r["doc_id"]: r.asDict() for r in df.collect()}
+    return [rows[d] for d in doc_ids if d in rows]
+
+
+def get_doc(index: FulltextIndex, doc_id: int,
+            columns: list[str] | None = None) -> dict | None:
+    out = get_docs(index, [doc_id], columns)
+    return out[0] if out else None
 
 
 # ---------------------------------------------------------------------------

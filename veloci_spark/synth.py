@@ -110,6 +110,57 @@ def generate_rows(n_docs: int, seed: int = 42) -> list[dict]:
 WEBTEXT_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
+def generate_df_distributed(spark, n_docs: int, seed: int = 42,
+                            num_partitions: int = 64):
+    """Executor-side deterministic corpus generation for large scales: each
+    row is derived from its index with an independent ``Random(seed, i)``
+    stream, so the corpus is identical for any partitioning / cluster size.
+    Golden rows are NOT included (use :func:`generate_df` for test corpora)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    langs = ["en"] * 16 + ["de"] * 3 + ["ja"]
+
+    def gen(iterator):
+        vocab = _vocab()
+        nv = len(vocab)
+        for pdf in iterator:
+            urls, tss, htmls, texts, lgs = [], [], [], [], []
+            for i in pdf["id"].values:
+                rng = random.Random((seed << 34) ^ int(i))
+                lang = langs[rng.randrange(len(langs))]
+                n_words = rng.randint(5, 60)
+                words = [vocab[int(nv * rng.random() ** 3) % nv]
+                         for _ in range(n_words)]
+                parts = []
+                for w in words:
+                    parts.append(w)
+                    r = rng.random()
+                    parts.append(", " if r < 0.08 else (". " if r < 0.12 else " "))
+                text = "".join(parts).strip()
+                urls.append(f"https://example.org/{lang}/{int(i):010d}")
+                tss.append(_EPOCH + _dt.timedelta(seconds=int(i)))
+                htmls.append(b"<html><body>" + text.encode("utf-8") + b"</body></html>")
+                texts.append(text)
+                lgs.append(lang)
+            yield pd.DataFrame({"url": urls, "warc_ts": tss, "html": htmls,
+                                "text": texts, "lang": lgs})
+
+    return (
+        spark.range(0, n_docs, numPartitions=num_partitions)
+        .mapInPandas(gen, schema=schema)
+    )
+
+
 def generate_df(spark, n_docs: int, seed: int = 42, num_partitions: int | None = None):
     """Synthetic webtext as a Spark DataFrame in input_hint shape."""
     rows = generate_rows(n_docs, seed)
