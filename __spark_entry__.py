@@ -282,7 +282,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _get_index(spark, sf_dir)
         return (
             idx.phrase.where((F.col("tok_a") == "spark") & (F.col("tok_b") == "query"))
-            .select(F.explode("doc_ids").alias("doc_id"))
             .select(F.col("doc_id").cast("long"))
             .orderBy("doc_id")
         )

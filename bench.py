@@ -36,13 +36,28 @@ def make_spark(cpus: int):
     os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
     from pyspark.sql import SparkSession
 
+    # shuffle/spill scratch on the RAM-backed tmpfs: the sandbox's virtual
+    # disk has multi-second latency variance that would otherwise dominate
+    # the scaling measurement (a real cluster has local NVMe per executor)
+    scratch = f"/dev/shm/spark_local_{os.getpid()}"
+    os.makedirs(scratch, exist_ok=True)
+
     return (
         SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.local.dir", scratch)
         .appName("veloci-bench")
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "16g")
+        # local[32] = one JVM serving 32 task threads + shuffle buffers:
+        # size the heap so GC churn doesn't dominate the 32-way runs
+        .config("spark.driver.memory", "48g")
+        # split scans finer than the 128 MB default so a 32-thread run gets
+        # enough scan tasks on a ~GB corpus; token parquet compresses ~4:1
+        # into ~3 MB files, so the 4 MB default openCost would pack 4-5
+        # files per task and cap the scan at a fraction of the cores
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
@@ -168,41 +183,64 @@ def run_build_synth(spark, corpus_path: str, index_dir: str):
 
 
 def main_scaling():
-    """Run the identical build job at local[8] and local[32] in separate
-    JVMs on the same materialized corpus; report throughput at both +
-    scaling efficiency (BASELINE.md §3 protocol for the N vs 4N rule)."""
+    """Run the identical build job at N and 4N cores in separate JVMs on the
+    same materialized corpus; report throughput at both + scaling efficiency
+    (BASELINE.md §3 protocol for the N vs 4N executor rule).
+
+    With ``SCALE_TASKSET=1`` (default) each leg is pinned to its own CPU set
+    via ``taskset`` — on a single shared-memory VM an unpinned local[N] JVM
+    borrows extra cores for GC/IO threads, which silently turns "N cores"
+    into "N task slots on 4N cores" and corrupts the comparison. Pinning
+    emulates two genuinely different machine sizes.
+    """
     n_docs = int(os.environ.get("SCALE_DOCS", "100000"))
+    base_n = int(os.environ.get("SCALE_N", "8"))
+    pin = os.environ.get("SCALE_TASKSET", "1") == "1"
     corpus = materialize_synth_corpus(n_docs)
     results = {}
-    for cpus in (8, 32):
-        code = (
-            "import bench, json, shutil, os;"
-            f"spark = bench.make_spark({cpus});"
-            "spark.sparkContext.setLogLevel('ERROR');"
-            f"d = '/tmp/veloci_scale_idx_{os.getpid()}_{cpus}';"
-            "shutil.rmtree(d, ignore_errors=True);"
-            f"n, dt = bench.run_build_synth(spark, {corpus!r}, d);"
-            f"print('RESULT ' + json.dumps({{'cpus': {cpus}, 'n_docs': n, 'sec': dt}}));"
-            "spark.stop(); shutil.rmtree(d, ignore_errors=True)"
-        )
-        env = dict(os.environ, SPARK_LOCAL_IP="127.0.0.1",
-                   PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
-        p = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                           text=True, env=env, timeout=3600)
-        line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")]
-        if not line:
-            print(p.stdout[-2000:], p.stderr[-2000:], file=sys.stderr)
-            sys.exit(1)
-        r = json.loads(line[0][len("RESULT "):])
-        results[r["cpus"]] = r
-    t8 = results[8]["n_docs"] / results[8]["sec"]
-    t32 = results[32]["n_docs"] / results[32]["sec"]
-    eff = (t32 / t8) / 4.0
+    trials = int(os.environ.get("SCALE_TRIALS", "2"))
+    for cpus in (base_n, base_n * 4):
+        best = None
+        for _trial in range(trials):
+            code = (
+                "import bench, json, shutil, os;"
+                f"spark = bench.make_spark({cpus});"
+                "spark.sparkContext.setLogLevel('ERROR');"
+                f"d = '/dev/shm/veloci_scale_idx_{os.getpid()}_{cpus}';"
+                "shutil.rmtree(d, ignore_errors=True);"
+                f"n, dt = bench.run_build_synth(spark, {corpus!r}, d);"
+                f"print('RESULT ' + json.dumps({{'cpus': {cpus}, 'n_docs': n, 'sec': dt}}));"
+                "spark.stop(); shutil.rmtree(d, ignore_errors=True);"
+                "shutil.rmtree(f'/dev/shm/spark_local_{os.getpid()}', ignore_errors=True)"
+            )
+            cmd = [sys.executable, "-c", code]
+            if pin:
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+            env = dict(os.environ, SPARK_LOCAL_IP="127.0.0.1",
+                       PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
+            p = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                               timeout=3600)
+            line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")]
+            if not line:
+                print(p.stdout[-2000:], p.stderr[-2000:], file=sys.stderr)
+                sys.exit(1)
+            r = json.loads(line[0][len("RESULT "):])
+            # best-of-N per leg: the sandbox host shows multi-tenant CPU
+            # steal; min wall time is the least-contended observation
+            if best is None or r["sec"] < best["sec"]:
+                best = r
+        results[best["cpus"]] = best
+    t_n = results[base_n]["n_docs"] / results[base_n]["sec"]
+    t_4n = results[base_n * 4]["n_docs"] / results[base_n * 4]["sec"]
+    eff = (t_4n / t_n) / 4.0
     print(json.dumps({
         "corpus": corpus,
-        "n_docs": results[8]["n_docs"],
-        "local8": {"sec": round(results[8]["sec"], 2), "docs_per_sec": round(t8, 1)},
-        "local32": {"sec": round(results[32]["sec"], 2), "docs_per_sec": round(t32, 1)},
+        "n_docs": results[base_n]["n_docs"],
+        "pinned": pin,
+        f"local{base_n}": {"sec": round(results[base_n]["sec"], 2),
+                           "docs_per_sec": round(t_n, 1)},
+        f"local{base_n * 4}": {"sec": round(results[base_n * 4]["sec"], 2),
+                               "docs_per_sec": round(t_4n, 1)},
         "scaling_efficiency": round(eff, 3),
     }))
 

@@ -52,8 +52,12 @@ def test_phrase_index_matches_oracle(spark_index, ref_index):
     rows = spark_index.phrase.where("field = 'text'").toPandas()
     got: dict[tuple, set] = {}
     for _, r in rows.iterrows():
-        got.setdefault((r["tok_a"], r["tok_b"]), set()).update(int(d) for d in r["doc_ids"])
+        got.setdefault((r["tok_a"], r["tok_b"]), set()).add(int(r["doc_id"]))
     assert got == ref_index.fields["text"].phrase_pairs
+    # flat pair rows are unique per (pair, doc)
+    assert len(rows) == rows.drop_duplicates(["tok_a", "tok_b", "doc_id"]).shape[0]
+    seg = rows["doc_id"] // SEGMENT_DOCS
+    assert (rows["segment"] == seg).all()
 
 
 # ---------------------------------------------------------------------------
@@ -154,6 +158,44 @@ def test_distributed_dict_matches_local(spark_index, spark, term, kw):
     assert list(a["term_id"]) == list(b["term_id"])
     assert list(a["distance"]) == list(b["distance"])
     assert list(np.float32(a["score"])) == list(np.float32(b["score"]))
+
+
+class TestIdentityField:
+    """url is an identity column: no dictionary/postings are built, queries
+    resolve against the doc store (reference identity shortcut)."""
+
+    def test_no_url_dictionary(self, spark_index):
+        assert spark_index.dict_df.where("field = 'url'").count() == 0
+        assert spark_index.postings.join(
+            spark_index.dict_df.where("field = 'url'"), "term_id", "left_semi"
+        ).count() == 0
+
+    def test_exact_url_search_matches_oracle(self, spark_index, ref_index, corpus):
+        from veloci_spark.search import search
+
+        url = corpus[10]["url"]
+        req = {"search": {"terms": [url], "path": "url"}, "top": 5}
+        got = search(spark_index, req)
+        want = pyref.search_request(ref_index, req)
+        assert [d["doc_id"] for d in got["data"]] == [d for d, _ in want] == [10]
+        assert np.float32(got["data"][0]["score"]) == np.float32(want[0][1])
+
+    def test_url_prefix_matches_oracle(self, spark_index, ref_index):
+        from veloci_spark.search import search
+
+        req = {"search": {"terms": ["https://example.org/golden/scores/"],
+                          "path": "url", "starts_with": True}, "top": 10}
+        got = search(spark_index, req)
+        want = pyref.search_request(ref_index, req)
+        assert [d["doc_id"] for d in got["data"]] == [d for d, _ in want]
+        assert len(got["data"]) == 3
+
+    def test_match_terms_identity(self, spark_index, corpus):
+        from veloci_spark.search import match_terms
+
+        m = match_terms(spark_index, "url", corpus[7]["url"])
+        assert len(m) == 1
+        assert m.iloc[0]["term_id"] == 7  # term_id ≡ doc_id for order column
 
 
 # ---------------------------------------------------------------------------

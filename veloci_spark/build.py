@@ -94,7 +94,9 @@ def _write_checkpoint(index_dir: str, stage: str, task_id: int, metrics: dict) -
 # 1. deterministic doc ids (scalable zip-with-index)
 
 
-def assign_doc_ids(df: DataFrame, order_col: str = "url", num_partitions: int | None = None) -> DataFrame:
+def assign_doc_ids(df: DataFrame, order_col: str = "url",
+                   num_partitions: int | None = None,
+                   out_path: str | None = None) -> DataFrame | None:
     """Add ``doc_id`` = 0-based rank of ``order_col`` in the global sort.
 
     Range-partition on the order column (one shuffle), count rows per
@@ -103,9 +105,15 @@ def assign_doc_ids(df: DataFrame, order_col: str = "url", num_partitions: int | 
     ``row_number() over (orderBy url)`` but with no single-reducer window, so
     it holds at 10^12 rows.
     """
+    from pyspark import StorageLevel
+
     if num_partitions is None:
         num_partitions = max(df.rdd.getNumPartitions(), 1)
-    parts = df.repartitionByRange(num_partitions, F.col(order_col))
+    # persist the range-shuffled rows: both the count pass and the id-assign
+    # pass read them, and nothing upstream re-executes (at cluster scale use
+    # DISK_ONLY-backed storage — the corpus outsizes memory)
+    parts = df.repartitionByRange(num_partitions, F.col(order_col)) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     counts = (
         parts.select(F.spark_partition_id().alias("pid"))
         .groupBy("pid").count().collect()
@@ -133,7 +141,12 @@ def assign_doc_ids(df: DataFrame, order_col: str = "url", num_partitions: int | 
 
     # sortWithinPartitions gives Arrow batches in order, but a partition can
     # arrive as multiple batches → track a running offset per task.
-    return parts.sortWithinPartitions(order_col).mapInPandas(add_ids, schema=out_schema)
+    out = parts.sortWithinPartitions(order_col).mapInPandas(add_ids, schema=out_schema)
+    if out_path is not None:
+        out.write.mode("overwrite").parquet(out_path)
+        parts.unpersist()
+        return None
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -391,6 +404,14 @@ def _pack_partition_factory(index_dir: str, block_docs: int):
             for s, e in zip(starts, ends):
                 d = docs[s:e]
                 sc = scores[s:e]
+                if e - s > 1 and (d[1:] == d[:-1]).any():
+                    # duplicate (term, doc) entries (exact-text + token of the
+                    # same string): scores are SUMMED (create.rs:388-413).
+                    # Rows arrive doc-sorted, so duplicates are adjacent —
+                    # summing here replaces a corpus-wide groupBy.
+                    dstart = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+                    d = d[dstart]
+                    sc = np.add.reduceat(sc, dstart)
                 docs_bin = vbyte_encode(delta_encode(d.astype(np.uint64)))
                 scores_bin = vbyte_encode(sc)
                 nb = (e - s + block_docs - 1) // block_docs
@@ -446,10 +467,10 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
     if not _stage_done(index_dir, "docs"):
         t0 = time.time()
         if config.doc_id_col and config.doc_id_col in df.columns:
-            with_ids = df.withColumn("doc_id", F.col(config.doc_id_col).cast("long"))
+            df.withColumn("doc_id", F.col(config.doc_id_col).cast("long")) \
+                .write.mode("overwrite").parquet(docs_path)
         else:
-            with_ids = assign_doc_ids(df, config.order_col, num_partitions)
-        with_ids.write.mode("overwrite").parquet(docs_path)
+            assign_doc_ids(df, config.order_col, num_partitions, out_path=docs_path)
         _mark_stage(index_dir, "docs", wall_sec=time.time() - t0)
     docs = spark.read.parquet(docs_path)
     n_docs = docs.count()
@@ -470,7 +491,11 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
             all_tokens = parts[0]
             for p in parts[1:]:
                 all_tokens = all_tokens.unionByName(p)
-            all_tokens.write.mode("overwrite").parquet(tokens_path)
+            # spread across num_partitions files: token parquet compresses
+            # ~4:1, so file-size-driven splits would give the downstream
+            # scoring/count stages a fraction of the cluster's parallelism
+            all_tokens.repartition(num_partitions) \
+                .write.mode("overwrite").parquet(tokens_path)
         else:
             spark.createDataFrame([], schema=T.StructType(
                 _ENTRY_SCHEMA.fields + [T.StructField("field", T.StringType())]
@@ -482,7 +507,12 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
     tokens = spark.read.parquet(tokens_path)
 
     # exact-text entries: full texts within the dictionary byte cutoff
-    # (/root/reference/src/metadata.rs:66-68 — longer texts are token-only)
+    # (/root/reference/src/metadata.rs:66-68 — longer texts are token-only).
+    # identity fields are excluded everywhere: their dictionary would be
+    # corpus-sized; queries resolve them against the doc store (identity
+    # shortcut, create_fulltext.rs:37)
+    dict_fields = [fc for fc in config.fields if not fc.identity]
+
     def storable_texts(fc):
         return (
             docs.select("doc_id", F.col(fc.name).alias("term"))
@@ -501,7 +531,7 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
         token_counts = tokens.groupBy("field", "token").agg(F.sum("cnt").alias("cnt")) \
             .withColumnRenamed("token", "term")
         text_parts = [storable_texts(fc).groupBy("field", "term").agg(F.count("*").alias("cnt"))
-                      for fc in config.fields]
+                      for fc in dict_fields]
         counts = token_counts
         for p in text_parts:
             counts = counts.unionByName(p)
@@ -509,11 +539,14 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
         # SAMPLES its input, which would recompute the aggregation twice
         counts.groupBy("field", "term").agg(F.sum("cnt").alias("num_occurences")) \
             .write.mode("overwrite").parquet(occ_path)
+        t1 = time.time()
+        _write_checkpoint(index_dir, "dict-occ", 0, {"wall_sec": t1 - t0})
         occurrences = spark.read.parquet(occ_path)
         # _assign_term_ids output is already range-partitioned + sorted by
         # (field, term) — write as-is (FST-analog sorted dictionary files)
         _assign_term_ids(occurrences, num_partitions) \
             .write.mode("overwrite").parquet(dict_path)
+        _write_checkpoint(index_dir, "dict-ids", 0, {"wall_sec": time.time() - t1})
         _mark_stage(index_dir, "dict", wall_sec=time.time() - t0)
     term_dict = spark.read.parquet(dict_path)
 
@@ -543,35 +576,39 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
                 F.lit(0).alias("best_pos"), F.lit(1).alias("n_tokens"),
                 F.lit(True).alias("is_exact"),
             )
-            for fc in config.fields
+            for fc in dict_fields
         ]
         entries = token_entries
         for p in text_entries_parts:
             entries = entries.unionByName(p)
 
         dict_side = term_dict.select("field", "term", "term_id", "num_occurences")
-        if term_dict.count() <= 5_000_000:
-            # dictionaries are typically tiny next to the posting stream —
-            # broadcast them so the scoring join has no shuffle at all
+        if term_dict.count() <= 2_000_000:
+            # dictionaries up to ~150 MB broadcast (no shuffle — measured 3×
+            # faster than the sort-merge join of the full entry stream);
+            # beyond that the driver round-trip loses and the join shuffles
             dict_side = F.broadcast(dict_side)
         scored = (
             entries.join(dict_side, on=["field", "term"], how="inner")
             .withColumn("score", score_udf("best_pos", "num_occurences", "n_tokens", "is_exact"))
-            # duplicate (term, doc) scores are summed (create.rs:388-413)
-            .groupBy("field", "term_id", "doc_id")
-            .agg(F.sum("score").alias("score"))
             .withColumn("segment", (F.col("doc_id") / F.lit(segment_docs)).cast("int"))
         )
         # hash repartition (NOT range — range sampling would recompute the
-        # whole scored plan twice); the pack kernel only needs each
-        # (field, term_id, segment) group whole in one partition + sorted
+        # whole scored plan twice); the pack kernel needs each
+        # (field, term_id, segment) group whole in one partition + sorted.
+        # Duplicate (term, doc) rows are summed inside the pack kernel (they
+        # arrive adjacent), replacing a corpus-wide groupBy aggregation.
         packed = (
             scored.repartition(num_partitions, "field", "term_id", "segment")
             .sortWithinPartitions("field", "term_id", "segment", "doc_id")
             .mapInPandas(_pack_partition_factory(index_dir, config.posting_block_docs),
                          schema=_POSTING_SCHEMA)
         )
-        packed.write.mode("overwrite").partitionBy("segment").parquet(postings_path)
+        # co-locate each segment's rows before the partitioned write: without
+        # this every pack task writes one file per segment it happens to
+        # hold (tasks × segments files → driver-side commit renames serialize)
+        packed.repartition("segment") \
+            .write.mode("overwrite").partitionBy("segment").parquet(postings_path)
         _mark_stage(index_dir, "postings", wall_sec=time.time() - t0)
 
     # ---- stage: phrase pairs --------------------------------------------
@@ -588,16 +625,20 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
             pairs_raw = parts[0]
             for p in parts[1:]:
                 pairs_raw = pairs_raw.unionByName(p)
+            # FLAT storage, sorted by pair: parquet row-group min/max stats on
+            # (tok_a, tok_b) give data skipping for pair lookups, and the
+            # sort shuffle is far cheaper than materializing tens of millions
+            # of tiny collect_set groups (measured 100s → ~25s at 1M docs)
             pairs = (
                 pairs_raw
                 .withColumn("segment", (F.col("doc_id") / F.lit(segment_docs)).cast("int"))
-                .groupBy("field", "tok_a", "tok_b", "segment")
-                .agg(F.sort_array(F.collect_set("doc_id")).alias("doc_ids"))
+                .repartition(num_partitions, "tok_a", "tok_b")
+                .sortWithinPartitions("field", "tok_a", "tok_b", "segment", "doc_id")
             )
             pairs.write.mode("overwrite").parquet(phrase_path)
         else:
             spark.createDataFrame(
-                [], "field string, tok_a string, tok_b string, segment int, doc_ids array<long>"
+                [], "field string, tok_a string, tok_b string, segment int, doc_id long"
             ).write.mode("overwrite").parquet(phrase_path)
         _mark_stage(index_dir, "phrase", wall_sec=time.time() - t0)
 
@@ -615,7 +656,7 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
         "fields": [
             {"name": fc.name, "tokenize": fc.tokenize, "separators": fc.separators,
              "max_text_store_bytes": fc.max_text_store_bytes,
-             "phrase_pairs": fc.phrase_pairs}
+             "phrase_pairs": fc.phrase_pairs, "identity": fc.identity}
             for fc in config.fields
         ],
         "build_wall_sec": time.time() - t_start,

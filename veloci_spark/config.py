@@ -34,6 +34,13 @@ class FieldConfig:
     phrase_pairs: bool = True     # build the adjacent-pair index (phrase boost)
     token_texts: bool = True      # build term→text relation (locality boost, why-found)
     boost_from_value: bool = False  # numeric field used via boost-by-field
+    # identity column: values are UNIQUE per doc (e.g. url) — the reference's
+    # identity shortcut (/root/reference/src/create/create_fulltext.rs:37,
+    # used /root/reference/src/search/search_field.rs:471-479). No dictionary
+    # or postings are built (they would be corpus-sized); queries resolve
+    # against the doc store directly with the exact-text score constant
+    # (num_occurences = 1 by uniqueness).
+    identity: bool = False
 
 
 @dataclass(frozen=True)
@@ -70,7 +77,7 @@ def webtext_config(**kw) -> IndexConfig:
             FieldConfig("text"),
             # url/lang: untokenized identity/facet columns (FIXTURES.md)
             FieldConfig("url", tokenize=False, phrase_pairs=False, token_texts=False,
-                        max_text_store_bytes=4096),
+                        max_text_store_bytes=4096, identity=True),
             FieldConfig("lang", tokenize=False, phrase_pairs=False, token_texts=False),
         ),
     )

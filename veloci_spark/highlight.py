@@ -87,9 +87,12 @@ def why_found(index, doc_ids: list[int], leaves) -> dict[int, dict[str, list[str
     segs = sorted({d // segment_docs for d in doc_ids})
     want = np.array(sorted(doc_ids), dtype=np.int64)
 
-    # (field, term_id) → term string, per leaf
+    # (field, term_id) → term string, per leaf (identity leaves have no
+    # postings — matched is None — and are not reported here)
     tid_term: dict[tuple[str, int], str] = {}
     for leaf in leaves:
+        if leaf.matched is None:
+            continue
         for _, r in leaf.matched.iterrows():
             tid_term[(leaf.field, int(r["term_id"]))] = r["term"]
     if not tid_term:

@@ -42,11 +42,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from veloci_spark.build import load_manifest
-from veloci_spark.scoring import levenshtein_batch, term_score
+from veloci_spark.scoring import index_score_u32, levenshtein_batch, term_score
 from veloci_spark.vbyte import unpack_postings, vbyte_decode
 from veloci_spark import pyref
 
 _F32 = np.float32
+
+# stored score of every identity-field entry: exact-text formula with
+# num_occurences = 1 (values are unique by definition) — see
+# FieldConfig.identity and /root/reference/src/search/search_field.rs:471-479
+IDENTITY_STORED = int(index_score_u32([0], [1], [1], [True])[0])
 
 
 # dictionaries up to this many terms are pulled to the driver once and term
@@ -113,6 +118,11 @@ def match_terms(index: FulltextIndex, field: str, term: str, *,
     d_auto = min(levenshtein, n_chars - 1, 4)
     check_prefix = starts_with or levenshtein != 0
 
+    if index.fields.get(field, {}).get("identity"):
+        return _match_identity(index, field, term, lower, n_chars, d_auto,
+                               check_prefix, starts_with, is_regex, levenshtein,
+                               top, skip)
+
     local = index.local_dict(field)
     if local is not None:
         return _match_terms_local(local, lower, n_chars, d_auto, check_prefix,
@@ -169,6 +179,102 @@ def match_terms(index: FulltextIndex, field: str, term: str, *,
                         "distance": dist, "prefix": prefix, "score": score})
     if top is not None:
         # matched-term truncation (search_field.rs:292-331,373-376)
+        out = out.sort_values(["score", "term_id"], ascending=[False, False],
+                              kind="mergesort").head(top + skip)
+    return out.reset_index(drop=True)
+
+
+def _identity_selection(values, lower: str, term: str, n_chars: int,
+                        d_auto: int, check_prefix: bool, starts_with: bool,
+                        is_regex: bool):
+    """Selection mask + distances + prefix flags for identity-field values —
+    the exact dictionary-match semantics of pyref.RefIndex.match_terms,
+    applied to the raw column values (which ARE the dictionary terms)."""
+    import re as _re
+
+    vals = np.asarray(values, dtype=object)
+    low = np.array([v.lower() if v is not None else "" for v in vals], dtype=object)
+    if is_regex:
+        rx = _re.compile(term, _re.IGNORECASE)
+        if starts_with:
+            sel = np.array([v is not None and rx.match(v) is not None
+                            for v in vals], dtype=bool)
+        else:
+            sel = np.array([v is not None and rx.fullmatch(v) is not None
+                            for v in vals], dtype=bool)
+    elif starts_with:
+        if d_auto == 0:
+            sel = np.array([s.startswith(lower) for s in low], dtype=bool)
+        else:
+            sel = np.array([pyref._prefix_lev(s, lower) <= d_auto for s in low],
+                           dtype=bool)
+    elif d_auto == 0:
+        sel = np.array([s == lower for s in low], dtype=bool)
+    else:
+        lens = np.array([len(s) for s in low])
+        sel = np.abs(lens - n_chars) <= d_auto
+        if sel.any():
+            c = np.flatnonzero(sel)
+            d = levenshtein_batch([low[i] for i in c], lower, d_auto)
+            sel[c] = d <= d_auto
+    dist = np.zeros(len(vals), dtype=np.int64)
+    prefix = np.zeros(len(vals), dtype=bool)
+    if sel.any():
+        c = np.flatnonzero(sel)
+        sub = [low[i] for i in c]
+        dist[c] = np.where(np.array([s == lower for s in sub]), 0,
+                           levenshtein_batch(sub, lower, 254))
+        prefix[c] = [check_prefix and s.startswith(lower) for s in sub]
+    return sel, dist, prefix
+
+
+def _identity_scores(values, lower, term, n_chars, d_auto, check_prefix,
+                     starts_with, is_regex) -> np.ndarray:
+    """Per-value final f32 score (NaN = not selected): term_score ×
+    f16(IDENTITY_STORED)/100."""
+    sel, dist, prefix = _identity_selection(values, lower, term, n_chars,
+                                            d_auto, check_prefix, starts_with,
+                                            is_regex)
+    ts = term_score(dist, prefix)
+    fin = (ts * (np.float16(IDENTITY_STORED).astype(_F32) / _F32(100.0))).astype(_F32)
+    return np.where(sel, fin, np.float32("nan")).astype(_F32)
+
+
+def _match_identity(index: FulltextIndex, field: str, term: str, lower: str,
+                    n_chars: int, d_auto: int, check_prefix: bool,
+                    starts_with: bool, is_regex: bool, levenshtein: int,
+                    top: int | None, skip: int,
+                    cap: int = 100_000) -> pd.DataFrame:
+    """Dictionary-style match against an identity column: the doc store is
+    scanned (selection runs distributed), matches are collected capped.
+    term_id ≡ doc_id for the order column (the identity)."""
+    fc = index.fields[field]
+
+    @F.pandas_udf("boolean")
+    def sel_udf(v: pd.Series) -> pd.Series:
+        s, _d, _p = _identity_selection(v.values, lower, term, n_chars,
+                                        d_auto, check_prefix, starts_with,
+                                        is_regex)
+        return pd.Series(s)
+
+    rows = (
+        index.docs.select("doc_id", F.col(field).alias("value"))
+        .where(F.col("value").isNotNull())
+        .where(F.octet_length("value") <= fc["max_text_store_bytes"])
+        .where(sel_udf(F.col("value")))
+        .limit(cap)
+        .toPandas()
+    )
+    if rows.empty:
+        return pd.DataFrame(columns=["term", "term_id", "distance", "prefix", "score"])
+    _sel, dist, prefix = _identity_selection(rows["value"].values, lower, term,
+                                             n_chars, d_auto, check_prefix,
+                                             starts_with, is_regex)
+    score = term_score(dist, prefix)
+    out = pd.DataFrame({"term": rows["value"].values,
+                        "term_id": rows["doc_id"].values,
+                        "distance": dist, "prefix": prefix, "score": score})
+    if top is not None:
         out = out.sort_values(["score", "term_id"], ascending=[False, False],
                               kind="mergesort").head(top + skip)
     return out.reset_index(drop=True)
@@ -448,9 +554,13 @@ def _collect_leaves(index: FulltextIndex, request: dict):
                 dedup[key] = leaf
             term_boost_leaves.append((leaf.leaf_id, float(factor)))
 
-    # match all leaves against the dictionary
+    # match all leaves against the dictionary; identity-field leaves stay
+    # distributed (their "dictionary" is the doc store — matched=None)
     for leaf in leaves:
-        leaf.matched = match_terms(index, leaf.field, leaf.term, **leaf.opts)
+        if index.fields.get(leaf.field, {}).get("identity"):
+            leaf.matched = None
+        else:
+            leaf.matched = match_terms(index, leaf.field, leaf.term, **leaf.opts)
     return tree, filter_tree, leaves, scored_leaf_ids, phrase_specs, term_boost_leaves
 
 
@@ -520,7 +630,11 @@ def _search_hits(index: FulltextIndex, request: dict, need_all: bool):
 
     # kernel input: postings rows for matched terms, tagged with leaf_id
     matched_rows = []  # (field, term_id, leaf_id, term_score)
+    identity_leaves = []
     for leaf in leaves:
+        if leaf.matched is None:
+            identity_leaves.append(leaf)
+            continue
         for _, r in leaf.matched.iterrows():
             matched_rows.append((leaf.field, int(r["term_id"]), leaf.leaf_id,
                                  float(r["score"])))
@@ -534,22 +648,39 @@ def _search_hits(index: FulltextIndex, request: dict, need_all: bool):
                             if l.leaf_id in scored_ids],
         "top": None if emit_all else top + skip,
     }
+    # WAND-style pruning (single unboosted leaf, plain top-k): posting rows
+    # are processed in descending max-possible-score order and skipped —
+    # without decoding — once they cannot reach the running kth score.
+    # Sound because a leaf's doc score is the MAX over its term rows
+    # (search_field.rs:449-463) and the threshold only grows.
+    if (not emit_all and filter_tree is None and not term_boost_leaves
+            and not plan["locality"] and not phrase_specs
+            and tree["op"] == "leaf" and tree.get("boost") is None
+            and plan["top"]
+            and leaves[tree["leaf_id"]].matched is not None):
+        plan["wand_leaf"] = tree["leaf_id"]
     spark = index.spark
-    if not matched_rows:
+    if not matched_rows and not identity_leaves:
         return spark.createDataFrame([], schema=_HITS_SCHEMA), plan, leaves
 
-    matched_df = spark.createDataFrame(
-        matched_rows, "field string, term_id long, leaf_id int, term_score float")
-    fields = list({m[0] for m in matched_rows})
-    tids = list({m[1] for m in matched_rows})
-    rows = (
-        index.postings
-        .where(F.col("field").isin(fields) & F.col("term_id").isin(tids))
-        .join(F.broadcast(matched_df), on=["field", "term_id"])
-        .select("segment", "leaf_id", "term_score", "docs_bin", "scores_bin")
-        .withColumn("doc_ids", F.lit(None).cast("array<long>"))
-        .withColumn("phrase_leaf", F.lit(-1))
-    )
+    rows = None
+    if matched_rows:
+        matched_df = spark.createDataFrame(
+            matched_rows, "field string, term_id long, leaf_id int, term_score float")
+        fields = list({m[0] for m in matched_rows})
+        tids = list({m[1] for m in matched_rows})
+        rows = (
+            index.postings
+            .where(F.col("field").isin(fields) & F.col("term_id").isin(tids))
+            .join(F.broadcast(matched_df), on=["field", "term_id"])
+            .select("segment", "leaf_id", "term_score", "max_score",
+                    "docs_bin", "scores_bin")
+            .withColumn("doc_ids", F.lit(None).cast("array<long>"))
+            .withColumn("phrase_leaf", F.lit(-1))
+        )
+    for leaf in identity_leaves:
+        irows = _identity_leaf_rows(index, leaf)
+        rows = irows if rows is None else rows.unionByName(irows)
 
     # phrase legs: segment-local doc-id lists from the phrase index
     next_leaf_id = len(leaves)
@@ -559,11 +690,20 @@ def _search_hits(index: FulltextIndex, request: dict, need_all: bool):
             [(f, a, b, next_leaf_id + i) for i, (f, a, b) in enumerate(phrase_specs)],
             "field string, tok_a string, tok_b string, phrase_leaf int")
         phrase_leaf_ids = [next_leaf_id + i for i in range(len(phrase_specs))]
+        # explicit isin predicates reach the parquet row-group stats (the
+        # phrase table is sorted by pair); the query-time grouping is tiny
+        a_set = list({a for _f, a, _b in phrase_specs})
+        b_set = list({b for _f, _a, b in phrase_specs})
         prows = (
-            index.phrase.join(F.broadcast(specs_df), on=["field", "tok_a", "tok_b"])
+            index.phrase
+            .where(F.col("tok_a").isin(a_set) & F.col("tok_b").isin(b_set))
+            .join(F.broadcast(specs_df), on=["field", "tok_a", "tok_b"])
+            .groupBy("segment", "phrase_leaf")
+            .agg(F.collect_list("doc_id").alias("doc_ids"))
             .select("segment",
                     F.col("phrase_leaf").alias("leaf_id"),
                     F.lit(0.0).cast("float").alias("term_score"),
+                    F.lit(0).cast("long").alias("max_score"),
                     F.lit(None).cast("binary").alias("docs_bin"),
                     F.lit(None).cast("binary").alias("scores_bin"),
                     "doc_ids",
@@ -577,6 +717,83 @@ def _search_hits(index: FulltextIndex, request: dict, need_all: bool):
     return hits, plan, leaves
 
 
+def _wand_segment(g: pd.DataFrame, k: int):
+    """Single-leaf top-k with max-score row pruning: rows sorted by upper
+    bound (term_score × f16(max_score)/100) descending; once k distinct docs
+    exist and the next row's upper bound is below the running kth deduped
+    score, the remaining rows are never decoded."""
+    ts = g["term_score"].values.astype(_F32)
+    upper = (ts * (g["max_score"].values.astype(np.uint32)
+                   .astype(np.float16).astype(_F32) / _F32(100.0))).astype(_F32)
+    order = np.argsort(-upper.astype(np.float64), kind="stable")
+    acc_ids: list = []
+    acc_sc: list = []
+    thresh = None
+    uids = np.empty(0, np.int64)
+    umax = np.empty(0, _F32)
+    for i in order:
+        if thresh is not None and upper[i] < thresh:
+            break
+        r = g.iloc[i]
+        ids, stored = unpack_postings(r["docs_bin"], r["scores_bin"])
+        fin = (_F32(r["term_score"])
+               * (stored.astype(np.float16).astype(_F32) / _F32(100.0))).astype(_F32)
+        acc_ids.append(ids)
+        acc_sc.append(fin)
+        uids, umax = _dedup_max(np.concatenate(acc_ids), np.concatenate(acc_sc))
+        if len(uids) >= k:
+            thresh = np.partition(umax, len(umax) - k)[len(umax) - k]
+    sel = np.lexsort((-uids, -umax.astype(np.float64)))[:k]
+    return uids[sel], umax[sel]
+
+
+def _identity_leaf_rows(index: FulltextIndex, leaf) -> DataFrame:
+    """Kernel-input rows for an identity-field leaf: the doc store is
+    scanned distributed, per-doc f32 final scores computed in a vectorized
+    UDF, docs grouped by (segment, score) — few distinct scores (one per
+    matched distance) so the grouped rows are compact doc-id arrays.
+
+    Known limitation: per-leaf ``top`` truncation of matched terms is not
+    applied on this path (the query generator never sets it on leaves)."""
+    fc = index.fields[leaf.field]
+    lower = leaf.term.lower()
+    n_chars = max(len(lower), 1)
+    d_auto = min(leaf.opts.get("levenshtein", 0), n_chars - 1, 4)
+    check_prefix = leaf.opts.get("starts_with", False) or leaf.opts.get("levenshtein", 0) != 0
+    starts_with = leaf.opts.get("starts_with", False)
+    is_regex = leaf.opts.get("is_regex", False)
+    term = leaf.term
+    segment_docs = index.manifest["segment_docs"]
+
+    @F.pandas_udf("float")
+    def ident_score(v: pd.Series) -> pd.Series:
+        return pd.Series(_identity_scores(v.values, lower, term, n_chars,
+                                          d_auto, check_prefix, starts_with,
+                                          is_regex))
+
+    score_col = ident_score(F.col("value"))
+    return (
+        index.docs.select("doc_id", F.col(leaf.field).alias("value"))
+        .where(F.col("value").isNotNull())
+        .where(F.octet_length("value") <= fc["max_text_store_bytes"])
+        .withColumn("s", score_col)
+        # NaN (= not selected) surfaces as either NaN or NULL depending on
+        # the Arrow conversion — filter both
+        .where(F.col("s").isNotNull() & ~F.isnan("s"))
+        .withColumn("segment", (F.col("doc_id") / F.lit(segment_docs)).cast("int"))
+        .groupBy("segment", "s")
+        .agg(F.collect_list("doc_id").alias("doc_ids"))
+        .select("segment",
+                F.lit(leaf.leaf_id).alias("leaf_id"),
+                F.col("s").alias("term_score"),
+                F.lit(0).cast("long").alias("max_score"),
+                F.lit(None).cast("binary").alias("docs_bin"),
+                F.lit(None).cast("binary").alias("scores_bin"),
+                "doc_ids",
+                F.lit(-1).alias("phrase_leaf"))
+    )
+
+
 def _segment_kernel_factory(plan: dict, scored_leaf_ids: set):
     def kernel(iterator):
         # a task may hold several segments; concat then group by segment
@@ -584,7 +801,14 @@ def _segment_kernel_factory(plan: dict, scored_leaf_ids: set):
         if not pdfs:
             return
         data = pd.concat(pdfs, ignore_index=True)
+        wand_leaf = plan.get("wand_leaf")
         for _seg, g in data.groupby("segment", sort=False):
+            if wand_leaf is not None:
+                ids, scores = _wand_segment(g[g["leaf_id"] == wand_leaf],
+                                            plan["top"])
+                yield pd.DataFrame({"doc_id": ids.astype(np.int64),
+                                    "score": scores.astype(np.float32)})
+                continue
             leaf_hits: dict = {}
             leaf_idsets: dict = {}
             for leaf_id, rows in g.groupby("leaf_id", sort=False):
@@ -597,8 +821,11 @@ def _segment_kernel_factory(plan: dict, scored_leaf_ids: set):
                         all_ids.append(ids)
                         all_sc.append(fin)
                     elif r["doc_ids"] is not None:
+                        # identity-leaf rows carry the per-group f32 score in
+                        # term_score; phrase rows carry 0.0 (ids-only use)
                         all_ids.append(np.asarray(r["doc_ids"], dtype=np.int64))
-                        all_sc.append(np.zeros(len(r["doc_ids"]), dtype=_F32))
+                        all_sc.append(np.full(len(r["doc_ids"]),
+                                              _F32(r["term_score"]), dtype=_F32))
                 if not all_ids:
                     continue
                 ids = np.concatenate(all_ids)
@@ -671,12 +898,30 @@ def search(index: FulltextIndex, request: dict) -> dict:
         wf = _why(index, [d["doc_id"] for d in out["data"]], leaves)
         for d in out["data"]:
             d["why_found"] = wf.get(d["doc_id"], {})
+    if request.get("explain"):
+        # the reference renders its plan DAG as dot (search.rs:137-146);
+        # ours is the parsed tree + per-leaf matched dictionary terms
+        out["explain"] = {
+            "tree": _plan["tree"],
+            "filter": _plan["filter"],
+            "wand": _plan.get("wand_leaf") is not None,
+            "leaves": [
+                {"leaf_id": l.leaf_id, "field": l.field, "term": l.term,
+                 "opts": l.opts,
+                 "identity": l.matched is None,
+                 "matched": [] if l.matched is None else
+                            [(r["term"], float(np.float32(r["score"])))
+                             for _, r in l.matched.iterrows()]}
+                for l in leaves
+            ],
+        }
     if request.get("snippets"):
         from veloci_spark.highlight import highlight_text
 
         spec = request["snippets"]
         fld = spec.get("field", "text")
-        terms = [t for leaf in leaves if leaf.field == fld
+        terms = [t for leaf in leaves
+                 if leaf.field == fld and leaf.matched is not None
                  for t in leaf.matched["term"].tolist()]
         sep = index.fields[fld]["separators"]
         ids = [d["doc_id"] for d in out["data"]]
