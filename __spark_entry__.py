@@ -53,20 +53,46 @@ def _docs_config() -> IndexConfig:
     )
 
 
+def _data_fingerprint(path: str) -> str:
+    """Cheap input fingerprint: (name, size, mtime) of every file under the
+    source parquet path — no Spark job, catches data swaps under the same
+    sf_dir."""
+    parts = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for fn in sorted(files):
+                st = os.stat(os.path.join(root, fn))
+                parts.append(f"{fn}:{st.st_size}:{int(st.st_mtime)}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{os.path.basename(path)}:{st.st_size}:{int(st.st_mtime)}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
 def _get_index(spark: SparkSession, sf_dir: str):
     """Build (once per process+sf_dir, resumable on disk) and cache the
-    fulltext index over the documents table."""
-    from veloci_spark.build import build_index
+    fulltext index over the documents table.
+
+    The on-disk cache key includes the index layout version, the full
+    IndexConfig, and an input-data fingerprint — a code upgrade, config
+    change, or data swap lands in a different directory, and build_index
+    itself re-validates per-stage markers against the same fingerprint, so a
+    stale index can never be silently served (round-1 ft_phrase_docs bug).
+    """
+    from veloci_spark.build import build_index, index_fingerprint
     from veloci_spark.search import FulltextIndex
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    data_fp = _data_fingerprint(f"{sf_dir}/documents.parquet")
+    cfg = _docs_config()
+    fp = index_fingerprint(cfg, data_fp)
+    key = hashlib.md5(f"{sf_dir}|{fp}".encode()).hexdigest()[:10]
     with _IDX_LOCK:
         if key in _IDX_CACHE:
             return _IDX_CACHE[key]
         index_dir = f"/tmp/veloci_entry_idx_{key}"
         os.makedirs(index_dir, exist_ok=True)
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        build_index(spark, docs, _docs_config(), index_dir)
+        build_index(spark, docs, cfg, index_dir, input_fingerprint=data_fp)
         idx = FulltextIndex(spark, index_dir).cache()
         _IDX_CACHE[key] = idx
         return idx

@@ -37,6 +37,7 @@ def test_postings_match_oracle(spark_index, ref_index):
     got: dict[str, dict[int, int]] = {}
     for _, r in rows.iterrows():
         docs, scores = unpack_postings(r["docs_bin"], r["scores_bin"])
+        docs = docs + int(r["segment"]) * SEGMENT_DOCS  # stored segment-relative
         plist = got.setdefault(tid_to_term[r["term_id"]], {})
         for d, s in zip(docs, scores):
             assert d not in plist  # (term, doc) unique across segments
@@ -284,3 +285,68 @@ def test_paging_consistency(spark_index, ref_index):
     for skip in range(0, 6, 2):
         paged.extend(search(spark_index, {**base, "top": 2, "skip": skip})["data"])
     assert [d["doc_id"] for d in paged] == [d["doc_id"] for d in full]
+
+
+class TestResumeValidation:
+    """Stale-index invalidation (round-1 red-row regression): a stage marker
+    written by a different layout/config fingerprint must not be trusted."""
+
+    def test_fingerprint_changes_with_config_and_layout(self):
+        from veloci_spark.build import index_fingerprint
+        from veloci_spark.config import IndexConfig, FieldConfig
+
+        a = IndexConfig(fields=(FieldConfig("text"),), segment_docs=64)
+        b = IndexConfig(fields=(FieldConfig("text"),), segment_docs=128)
+        c = IndexConfig(fields=(FieldConfig("text", phrase_pairs=False),),
+                        segment_docs=64)
+        assert index_fingerprint(a) != index_fingerprint(b)
+        assert index_fingerprint(a) != index_fingerprint(c)
+        assert index_fingerprint(a) == index_fingerprint(a)
+        assert index_fingerprint(a, "data-v1") != index_fingerprint(a, "data-v2")
+
+    def test_stale_marker_triggers_rebuild(self, spark, corpus, tmp_path):
+        import json
+        import os
+
+        from veloci_spark.build import build_index
+        from veloci_spark.config import webtext_config
+
+        d = str(tmp_path / "idx")
+        cfg = webtext_config(segment_docs=SEGMENT_DOCS, doc_id_col="doc_id")
+        docs = spark.createDataFrame(corpus)
+        build_index(spark, docs, cfg, d)
+        phrase_marker = os.path.join(d, "_stage_phrase.done")
+        with open(phrase_marker) as f:
+            before = json.load(f)
+        # simulate a marker from an older code version
+        before["fingerprint"] = "deadbeefdeadbeef"
+        with open(phrase_marker, "w") as f:
+            json.dump(before, f)
+        t_before = os.path.getmtime(os.path.join(d, "phrase"))
+        build_index(spark, docs, cfg, d)  # must rebuild the phrase stage
+        with open(phrase_marker) as f:
+            after = json.load(f)
+        assert after["fingerprint"] != "deadbeefdeadbeef"
+        assert os.path.getmtime(os.path.join(d, "phrase")) >= t_before
+
+    def test_wrong_layout_version_rejected(self, spark, corpus, tmp_path):
+        import json
+        import os
+
+        import pytest as _pytest
+
+        from veloci_spark.build import build_index
+        from veloci_spark.config import webtext_config
+        from veloci_spark.search import FulltextIndex
+
+        d = str(tmp_path / "idx2")
+        cfg = webtext_config(segment_docs=SEGMENT_DOCS, doc_id_col="doc_id")
+        build_index(spark, spark.createDataFrame(corpus), cfg, d)
+        mpath = os.path.join(d, "manifest.json")
+        with open(mpath) as f:
+            m = json.load(f)
+        m["version"] = 1
+        with open(mpath, "w") as f:
+            json.dump(m, f)
+        with _pytest.raises(ValueError, match="layout version"):
+            FulltextIndex(spark, d)

@@ -67,17 +67,62 @@ from veloci_spark.scoring import index_score_u32
 from veloci_spark.tokenizer import _runs_re, _sep_set
 from veloci_spark.vbyte import delta_encode, vbyte_encode
 
+# On-disk index layout version. Bump whenever the physical layout of any
+# stage output changes (schema, encoding, partitioning). Resume validation
+# compares this + the config fingerprint against every stage marker, so a
+# stale index from an older code version is rebuilt instead of silently
+# served (the round-1 ft_phrase_docs failure mode).
+#   v1: round-1 layout (absolute doc ids in postings, grouped phrase arrays)
+#   v2: segment-relative doc ids in docs_bin; flat phrase rows; fingerprinted
+#       stage markers
+LAYOUT_VERSION = 2
+
 # ---------------------------------------------------------------------------
 # stage bookkeeping
 
 
-def _stage_done(index_dir: str, name: str) -> bool:
-    return os.path.exists(os.path.join(index_dir, f"_stage_{name}.done"))
+def index_fingerprint(config: IndexConfig, input_fingerprint: str = "") -> str:
+    """Stable hash of everything that invalidates on-disk stage outputs:
+    layout version + the full field/segment config + (optionally) an input
+    data fingerprint supplied by the caller (e.g. source parquet mtimes)."""
+    import hashlib
+
+    payload = json.dumps({
+        "layout": LAYOUT_VERSION,
+        "fields": [
+            {"name": fc.name, "tokenize": fc.tokenize, "separators": fc.separators,
+             "max_text_store_bytes": fc.max_text_store_bytes,
+             "phrase_pairs": fc.phrase_pairs, "token_texts": fc.token_texts,
+             "identity": fc.identity}
+            for fc in config.fields
+        ],
+        "doc_id_col": config.doc_id_col,
+        "order_col": config.order_col,
+        "segment_docs": config.segment_docs,
+        "posting_block_docs": config.posting_block_docs,
+        "input": input_fingerprint,
+    }, sort_keys=True)
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
-def _mark_stage(index_dir: str, name: str, **info) -> None:
+def _stage_done(index_dir: str, name: str, fingerprint: str) -> bool:
+    """A stage counts as done only if its marker exists AND was written by a
+    build with the same layout/config/input fingerprint."""
+    path = os.path.join(index_dir, f"_stage_{name}.done")
+    if not os.path.exists(path):
+        return False
+    try:
+        with open(path) as f:
+            marker = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return False
+    return marker.get("fingerprint") == fingerprint
+
+
+def _mark_stage(index_dir: str, name: str, fingerprint: str, **info) -> None:
     with open(os.path.join(index_dir, f"_stage_{name}.done"), "w") as f:
-        json.dump({"stage": name, "ts": time.time(), **info}, f)
+        json.dump({"stage": name, "ts": time.time(),
+                   "fingerprint": fingerprint, **info}, f)
 
 
 def _write_checkpoint(index_dir: str, stage: str, task_id: int, metrics: dict) -> None:
@@ -104,15 +149,20 @@ def assign_doc_ids(df: DataFrame, order_col: str = "url",
     ``offset[pid] + local_rank`` inside each sorted partition. Equivalent to
     ``row_number() over (orderBy url)`` but with no single-reducer window, so
     it holds at 10^12 rows.
+
+    Rows that tie on ``order_col`` are ordered by a content hash of the whole
+    row (``_tb``), so the assignment is deterministic across runs and cluster
+    sizes even for corpora with duplicate urls.
     """
     from pyspark import StorageLevel
 
     if num_partitions is None:
         num_partitions = max(df.rdd.getNumPartitions(), 1)
+    df = df.withColumn("_tb", F.xxhash64(*df.columns))
     # persist the range-shuffled rows: both the count pass and the id-assign
     # pass read them, and nothing upstream re-executes (at cluster scale use
     # DISK_ONLY-backed storage — the corpus outsizes memory)
-    parts = df.repartitionByRange(num_partitions, F.col(order_col)) \
+    parts = df.repartitionByRange(num_partitions, F.col(order_col), F.col("_tb")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     counts = (
         parts.select(F.spark_partition_id().alias("pid"))
@@ -125,7 +175,9 @@ def assign_doc_ids(df: DataFrame, order_col: str = "url",
         offsets[pid] = acc
         acc += by_pid.get(pid, 0)
 
-    out_schema = T.StructType(parts.schema.fields + [T.StructField("doc_id", T.LongType())])
+    out_schema = T.StructType(
+        [f for f in parts.schema.fields if f.name != "_tb"]
+        + [T.StructField("doc_id", T.LongType())])
 
     def add_ids(iterator):
         from pyspark import TaskContext
@@ -134,18 +186,24 @@ def assign_doc_ids(df: DataFrame, order_col: str = "url",
         base = offsets.get(pid, 0)
         seen = 0
         for pdf in iterator:
-            pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+            pdf = pdf.sort_values([order_col, "_tb"], kind="mergesort") \
+                .reset_index(drop=True).drop(columns=["_tb"])
             pdf["doc_id"] = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
             seen += len(pdf)
             yield pdf
 
     # sortWithinPartitions gives Arrow batches in order, but a partition can
     # arrive as multiple batches → track a running offset per task.
-    out = parts.sortWithinPartitions(order_col).mapInPandas(add_ids, schema=out_schema)
+    out = parts.sortWithinPartitions(order_col, "_tb").mapInPandas(add_ids, schema=out_schema)
     if out_path is not None:
         out.write.mode("overwrite").parquet(out_path)
         parts.unpersist()
         return None
+    # DataFrame-returning branch (tests / composition): materialize the
+    # result before dropping the shuffle cache so `parts` never re-executes.
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    parts.unpersist()
     return out
 
 
@@ -375,7 +433,7 @@ _POSTING_SCHEMA = T.StructType([
 ])
 
 
-def _pack_partition_factory(index_dir: str, block_docs: int):
+def _pack_partition_factory(index_dir: str, block_docs: int, segment_docs: int):
     def pack(iterator):
         from pyspark import TaskContext
 
@@ -412,21 +470,27 @@ def _pack_partition_factory(index_dir: str, block_docs: int):
                     dstart = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
                     d = d[dstart]
                     sc = np.add.reduceat(sc, dstart)
-                docs_bin = vbyte_encode(delta_encode(d.astype(np.uint64)))
+                # doc ids are stored SEGMENT-RELATIVE (doc_id - segment*segment_docs):
+                # bounded by segment_docs, so the 5-byte LEB128 cap (35 bits)
+                # never truncates even at 10^12 absolute doc ids. The query
+                # kernel adds the segment base back after decode.
+                rel = d.astype(np.uint64) - np.uint64(int(segs[s]) * segment_docs)
+                n_run = len(d)  # post-dedup length: df/blocks must use this
+                docs_bin = vbyte_encode(delta_encode(rel))
                 scores_bin = vbyte_encode(sc)
-                nb = (e - s + block_docs - 1) // block_docs
+                nb = (n_run + block_docs - 1) // block_docs
                 bmax = np.empty(nb, dtype=np.uint32)
                 for b in range(nb):
                     bmax[b] = sc[b * block_docs:(b + 1) * block_docs].max()
                 out["field"].append(fields[s])
                 out["term_id"].append(tids[s])
                 out["segment"].append(segs[s])
-                out["df"].append(e - s)
+                out["df"].append(n_run)
                 out["max_score"].append(int(sc.max()))
                 out["docs_bin"].append(docs_bin)
                 out["scores_bin"].append(scores_bin)
                 out["block_max"].append(bmax.tobytes())
-                n_postings += e - s
+                n_postings += n_run
                 n_bytes += len(docs_bin) + len(scores_bin)
             yield pd.DataFrame({
                 "field": out["field"],
@@ -454,24 +518,30 @@ def _pack_partition_factory(index_dir: str, block_docs: int):
 
 
 def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
-                index_dir: str, num_partitions: int | None = None) -> dict:
+                index_dir: str, num_partitions: int | None = None,
+                input_fingerprint: str = "") -> dict:
     """Build the full index; returns the manifest dict. Resumable: completed
-    stages (marker files) are skipped on re-run."""
+    stages (marker files) are skipped on re-run — but ONLY when their marker
+    carries the current layout/config/input fingerprint. A fingerprint
+    mismatch (new code version, changed config, changed input) invalidates
+    every stale stage and it rebuilds.
+    """
     os.makedirs(index_dir, exist_ok=True)
     t_start = time.time()
+    fp = index_fingerprint(config, input_fingerprint)
     if num_partitions is None:
         num_partitions = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
 
     # ---- stage: docs (doc ids + doc store) -------------------------------
     docs_path = os.path.join(index_dir, "docs")
-    if not _stage_done(index_dir, "docs"):
+    if not _stage_done(index_dir, "docs", fp):
         t0 = time.time()
         if config.doc_id_col and config.doc_id_col in df.columns:
             df.withColumn("doc_id", F.col(config.doc_id_col).cast("long")) \
                 .write.mode("overwrite").parquet(docs_path)
         else:
             assign_doc_ids(df, config.order_col, num_partitions, out_path=docs_path)
-        _mark_stage(index_dir, "docs", wall_sec=time.time() - t0)
+        _mark_stage(index_dir, "docs", fp, wall_sec=time.time() - t0)
     docs = spark.read.parquet(docs_path)
     n_docs = docs.count()
 
@@ -481,7 +551,7 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
     # materialized once, reused by the dict and postings stages
     tokens_path = os.path.join(index_dir, "_tokens")
     tokenized_fields = [fc for fc in config.fields if fc.tokenize]
-    if not _stage_done(index_dir, "tokens"):
+    if not _stage_done(index_dir, "tokens", fp):
         t0 = time.time()
         parts = []
         for fc in tokenized_fields:
@@ -503,7 +573,7 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
         dt = time.time() - t0
         _write_checkpoint(index_dir, "tokenize", 0, {
             "docs": n_docs, "docs_per_sec": n_docs / max(dt, 1e-9), "wall_sec": dt})
-        _mark_stage(index_dir, "tokens", wall_sec=dt)
+        _mark_stage(index_dir, "tokens", fp, wall_sec=dt)
     tokens = spark.read.parquet(tokens_path)
 
     # exact-text entries: full texts within the dictionary byte cutoff
@@ -524,7 +594,7 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
     # ---- stage: dict (term stats + ids) ----------------------------------
     dict_path = os.path.join(index_dir, "dict")
     occ_path = os.path.join(index_dir, "_occ")
-    if not _stage_done(index_dir, "dict"):
+    if not _stage_done(index_dir, "dict", fp):
         t0 = time.time()
         # num_occurences = corpus-wide frequency: once per token occurrence
         # + once per storable full-text occurrence (create_fulltext.rs:81-111)
@@ -547,13 +617,13 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
         _assign_term_ids(occurrences, num_partitions) \
             .write.mode("overwrite").parquet(dict_path)
         _write_checkpoint(index_dir, "dict-ids", 0, {"wall_sec": time.time() - t1})
-        _mark_stage(index_dir, "dict", wall_sec=time.time() - t0)
+        _mark_stage(index_dir, "dict", fp, wall_sec=time.time() - t0)
     term_dict = spark.read.parquet(dict_path)
 
     # ---- stage: postings -------------------------------------------------
     postings_path = os.path.join(index_dir, "postings")
     segment_docs = config.segment_docs
-    if not _stage_done(index_dir, "postings"):
+    if not _stage_done(index_dir, "postings", fp):
         t0 = time.time()
 
         @F.pandas_udf("long")
@@ -601,7 +671,8 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
         packed = (
             scored.repartition(num_partitions, "field", "term_id", "segment")
             .sortWithinPartitions("field", "term_id", "segment", "doc_id")
-            .mapInPandas(_pack_partition_factory(index_dir, config.posting_block_docs),
+            .mapInPandas(_pack_partition_factory(index_dir, config.posting_block_docs,
+                                                 segment_docs),
                          schema=_POSTING_SCHEMA)
         )
         # co-locate each segment's rows before the partitioned write: without
@@ -609,12 +680,12 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
         # hold (tasks × segments files → driver-side commit renames serialize)
         packed.repartition("segment") \
             .write.mode("overwrite").partitionBy("segment").parquet(postings_path)
-        _mark_stage(index_dir, "postings", wall_sec=time.time() - t0)
+        _mark_stage(index_dir, "postings", fp, wall_sec=time.time() - t0)
 
     # ---- stage: phrase pairs --------------------------------------------
     phrase_path = os.path.join(index_dir, "phrase")
     phrase_fields = [fc.name for fc in config.fields if fc.tokenize and fc.phrase_pairs]
-    if not _stage_done(index_dir, "phrase"):
+    if not _stage_done(index_dir, "phrase", fp):
         t0 = time.time()
         if phrase_fields:
             parts = []
@@ -640,13 +711,14 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
             spark.createDataFrame(
                 [], "field string, tok_a string, tok_b string, segment int, doc_id long"
             ).write.mode("overwrite").parquet(phrase_path)
-        _mark_stage(index_dir, "phrase", wall_sec=time.time() - t0)
+        _mark_stage(index_dir, "phrase", fp, wall_sec=time.time() - t0)
 
     # ---- manifest --------------------------------------------------------
     n_terms = term_dict.count()
     n_segments = int(n_docs // segment_docs) + 1
     manifest = {
-        "version": 1,
+        "version": LAYOUT_VERSION,
+        "fingerprint": fp,
         "built_at": time.time(),
         "n_docs": int(n_docs),
         "n_terms": int(n_terms),

@@ -103,7 +103,7 @@ def why_found(index, doc_ids: list[int], leaves) -> dict[int, dict[str, list[str
         index.postings
         .where(F.col("segment").isin(segs))
         .where(F.col("field").isin(fields) & F.col("term_id").isin(tids))
-        .select("field", "term_id", "docs_bin", "scores_bin")
+        .select("field", "term_id", "segment", "docs_bin", "scores_bin")
         .toPandas()
     )
     out: dict[int, dict[str, list[str]]] = {int(d): {} for d in doc_ids}
@@ -112,6 +112,7 @@ def why_found(index, doc_ids: list[int], leaves) -> dict[int, dict[str, list[str
         if term is None:
             continue
         docs, _scores = unpack_postings(r["docs_bin"], r["scores_bin"])
+        docs = docs + int(r["segment"]) * segment_docs  # stored segment-relative
         present = docs[np.isin(docs, want)]
         for d in present:
             out[int(d)].setdefault(r["field"], []).append(term)

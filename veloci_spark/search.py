@@ -69,6 +69,13 @@ class FulltextIndex:
         self.spark = spark
         self.index_dir = index_dir
         self.manifest = load_manifest(index_dir)
+        from veloci_spark.build import LAYOUT_VERSION
+        if self.manifest.get("version") != LAYOUT_VERSION:
+            raise ValueError(
+                f"index at {index_dir} has layout version "
+                f"{self.manifest.get('version')}, engine expects {LAYOUT_VERSION}; "
+                "rebuild the index (build_index invalidates stale stages "
+                "automatically when re-run)")
         self.dict_df = spark.read.parquet(f"{index_dir}/dict")
         self.postings = spark.read.parquet(f"{index_dir}/postings")
         self.phrase = spark.read.parquet(f"{index_dir}/phrase")
@@ -647,6 +654,7 @@ def _search_hits(index: FulltextIndex, request: dict, need_all: bool):
         "locality_leaves": [(l.leaf_id, l.tag) for l in leaves
                             if l.leaf_id in scored_ids],
         "top": None if emit_all else top + skip,
+        "segment_docs": int(index.manifest["segment_docs"]),
     }
     # WAND-style pruning (single unboosted leaf, plain top-k): posting rows
     # are processed in descending max-possible-score order and skipped —
@@ -717,7 +725,7 @@ def _search_hits(index: FulltextIndex, request: dict, need_all: bool):
     return hits, plan, leaves
 
 
-def _wand_segment(g: pd.DataFrame, k: int):
+def _wand_segment(g: pd.DataFrame, k: int, base: int):
     """Single-leaf top-k with max-score row pruning: rows sorted by upper
     bound (term_score × f16(max_score)/100) descending; once k distinct docs
     exist and the next row's upper bound is below the running kth deduped
@@ -736,6 +744,7 @@ def _wand_segment(g: pd.DataFrame, k: int):
             break
         r = g.iloc[i]
         ids, stored = unpack_postings(r["docs_bin"], r["scores_bin"])
+        ids = ids + base  # stored segment-relative
         fin = (_F32(r["term_score"])
                * (stored.astype(np.float16).astype(_F32) / _F32(100.0))).astype(_F32)
         acc_ids.append(ids)
@@ -803,9 +812,10 @@ def _segment_kernel_factory(plan: dict, scored_leaf_ids: set):
         data = pd.concat(pdfs, ignore_index=True)
         wand_leaf = plan.get("wand_leaf")
         for _seg, g in data.groupby("segment", sort=False):
+            seg_base = int(_seg) * plan["segment_docs"]
             if wand_leaf is not None:
                 ids, scores = _wand_segment(g[g["leaf_id"] == wand_leaf],
-                                            plan["top"])
+                                            plan["top"], seg_base)
                 yield pd.DataFrame({"doc_id": ids.astype(np.int64),
                                     "score": scores.astype(np.float32)})
                 continue
@@ -816,6 +826,7 @@ def _segment_kernel_factory(plan: dict, scored_leaf_ids: set):
                 for _, r in rows.iterrows():
                     if r["docs_bin"] is not None:
                         ids, stored = unpack_postings(r["docs_bin"], r["scores_bin"])
+                        ids = ids + seg_base  # stored segment-relative
                         ts = _F32(r["term_score"])
                         fin = (ts * (stored.astype(np.float16).astype(_F32) / _F32(100.0))).astype(_F32)
                         all_ids.append(ids)

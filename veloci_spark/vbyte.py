@@ -22,6 +22,11 @@ def vbyte_encode(values: np.ndarray) -> bytes:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
+    if int(v.max()) >= (1 << 35):
+        # the codec emits at most 5 LEB128 bytes (35 bits); callers keep
+        # values bounded (doc ids are segment-relative, scores are u32) —
+        # fail loudly instead of silently truncating
+        raise OverflowError(f"vbyte_encode: value {int(v.max())} exceeds 35 bits")
     nb = np.ones(v.size, dtype=np.int64)
     for t in _THRESH:
         nb += v >= t
