@@ -352,14 +352,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "jaccard")
 
     def dd_minhash_pairs(spark, sf_dir):
-        # rows-only (xxhash64-based signatures have no SQL twin)
+        # LSH candidates verified with EXACT n-gram Jaccard → the oracle is
+        # brute-force Jaccard at the same threshold (recall ≈ 1 − 10⁻¹⁴)
         return dd.minhash_near_duplicates(
             _documents(spark, sf_dir), threshold=0.8
-        ).select(F.col("doc_a").cast("long"), F.col("doc_b").cast("long"),
-                 "est_jaccard")
+        ).select(
+            F.col("doc_a").cast("long"), F.col("doc_b").cast("long"),
+            F.col("inter").cast("long"),
+            F.col("size_a").cast("long"), F.col("size_b").cast("long"),
+            "jaccard")
 
     def dd_simhash_pairs(spark, sf_dir):
-        # rows-only
+        # portable polynomial word hashes → the 60-bit fingerprint (and so
+        # the exhaustive pigeonhole pair set) has an exact SQL twin
         return dd.simhash_near_duplicates(_documents(spark, sf_dir), hamming=3) \
             .select(F.col("doc_a").cast("long"), F.col("doc_b").cast("long"),
                     F.col("hamming").cast("long"))
@@ -372,10 +377,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("rank").cast("long"))
 
     def sim_embedding_neardup(spark, sf_dir):
-        # rows-only (LSH-bucketed candidates)
+        # multi-table hyperplane LSH candidates verified with true cosine;
+        # oracle = DuckDB brute-force cosine ≥ θ (ids only — the cosine value
+        # itself is float-summation-order sensitive).
+        # The testdata embeddings are near-orthogonal (max pairwise cosine
+        # ≈0.51), so the corpus is augmented with a deterministic perturbed
+        # twin per vector (id+100000, v'ᵢ = vᵢ + 0.2·vᵢ₊₁ mod d → cosine
+        # ≈0.98): ~500 true near-dup pairs the LSH must ALL recover for the
+        # hash to match — a real recall gate, not a vacuous 0-row match.
+        emb = _embeddings(spark, sf_dir).select(
+            "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("embedding"))
+        pert = emb.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.expr("transform(embedding, (x, i) -> x + 0.2D * "
+                   "element_at(embedding, ((i + 1) % size(embedding)) + 1))"
+                   ).alias("embedding"))
         return dd.embedding_near_duplicates(
-            _embeddings(spark, sf_dir), threshold=0.9
-        ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cosine")
+            emb.unionByName(pert), threshold=0.9
+        ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
 
     def ts_quality(spark, sf_dir):
         return ts.quality_scores(_documents(spark, sf_dir)).select(
@@ -396,8 +415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("lang_score").cast("long")).orderBy("doc_id")
 
     def ts_fingerprints(spark, sf_dir):
-        # rows-only (rolling-hash winnowing)
-        return ts.fingerprints(_documents(spark, sf_dir)).orderBy("doc_id")
+        # winnowing fingerprints as flat (doc_id, fp) rows; the modular
+        # rolling hash is recomputed exactly by the DuckDB oracle
+        return ts.fingerprints(_documents(spark, sf_dir)).orderBy("doc_id", "fp")
 
     return {
         "ft_tokenize_counts": ft_tokenize_counts,
@@ -558,6 +578,75 @@ HAVING COUNT(*) / (MAX(sa.n) + MAX(sb.n) - COUNT(*)) >= 0.5
 ORDER BY doc_a, doc_b
 """
 
+    # exact-verified MinHash LSH ≡ brute-force n-gram Jaccard at threshold
+    # (candidate recall ≈ 1 − 10⁻¹⁴ with 32 bands × 2 rows; see dedup.py)
+    sql["dd_minhash_pairs"] = f"""
+WITH {_shingles}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       COUNT(*)::BIGINT AS inter,
+       MAX(sa.n)::BIGINT AS size_a, MAX(sb.n)::BIGINT AS size_b,
+       COUNT(*) / (MAX(sa.n) + MAX(sb.n) - COUNT(*)) AS jaccard
+FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+JOIN sizes sa ON sa.doc_id = a.doc_id
+JOIN sizes sb ON sb.doc_id = b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) / (MAX(sa.n) + MAX(sb.n) - COUNT(*)) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+    # brute-force 60-bit portable SimHash: Horner polynomial word hashes
+    # (mod 1e9+7 / 998244353 — every intermediate fits in BIGINT), per-bit
+    # sign votes, all pairs with Hamming ≤ 3. The engine's pigeonhole
+    # block-join is exhaustive, so the sets match exactly.
+    _wcps = "list_prepend(0::BIGINT, list_transform(string_split(w, ''), c -> unicode(c)::BIGINT))"
+    sql["dd_simhash_pairs"] = rf"""
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                    x -> x <> '')) AS w
+  FROM documents
+),
+wh AS (
+  SELECT doc_id,
+    (list_reduce({_wcps}, (acc, x) -> (acc * 131 + x) % 1000000007) % (1::BIGINT<<30))
+      * (1::BIGINT<<30)
+    + list_reduce({_wcps}, (acc, x) -> (acc * 137 + x) % 998244353) % (1::BIGINT<<30) AS h
+  FROM words
+),
+votes AS (
+  SELECT doc_id, b, SUM(2 * ((h >> b) & 1) - 1) AS v
+  FROM wh, LATERAL (SELECT unnest(range(60)) AS b) t
+  GROUP BY doc_id, b
+),
+fp AS (
+  SELECT doc_id, SUM(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS f
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.f, b.f))::BIGINT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+    # brute-force cosine near-dup over the same perturbed-twin augmentation
+    # (the LSH engine path must reach recall 1 on ~500 true pairs at cosine
+    # ≈0.98 or this oracle fails — that is the point)
+    sql["sim_embedding_neardup"] = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+v AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(range(len(e)),
+                        i -> e[i + 1] + 0.2 * e[((i + 1) % len(e)) + 1])
+  FROM base
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.9
+ORDER BY id_a, id_b
+"""
+
     sql["sim_cosine_topk"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < 3),
@@ -647,5 +736,27 @@ FROM s ORDER BY doc_id
 """
     )
     # lang_score for 'und' docs: engine reports the max marker count (0 here)
+
+    from veloci_spark.pipeline.textstats import FP_MOD, FP_POWERS, FP_WINDOW
+
+    _fp_terms = " + ".join(f"cps[i + {j + 1}] * {FP_POWERS[j]}::BIGINT"
+                           for j in range(FP_WINDOW))
+    sql["ts_fingerprints"] = f"""
+WITH cp AS (
+  SELECT doc_id,
+         list_transform(string_split(lower(text), ''),
+                        c -> unicode(c)::BIGINT) AS cps
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i, ({_fp_terms}) % {FP_MOD} AS h
+  FROM cp, LATERAL (SELECT unnest(range(len(cps) - {FP_WINDOW - 1})) AS i) t
+  WHERE len(cps) >= {FP_WINDOW}
+),
+blockmins AS (
+  SELECT doc_id, MIN(h) AS fp FROM wins GROUP BY doc_id, i // {FP_WINDOW}
+)
+SELECT DISTINCT doc_id, fp FROM blockmins ORDER BY doc_id, fp
+"""
 
     return sql

@@ -139,23 +139,39 @@ class TestSimHash:
         assert (0, 2) not in pairs
 
     def test_fingerprint_matches_local(self, documents, docs_pd):
-        from veloci_spark.pipeline.dedup import simhash_fingerprints
+        import re
+
+        import numpy as _np
+
+        from veloci_spark.pipeline.dedup import (
+            SIMHASH_BITS, _word_hash60, simhash_fingerprints)
 
         got = simhash_fingerprints(documents).toPandas()
         by_doc = dict(zip(got["doc_id"], got["fingerprint"]))
-        import re
-        import numpy as _np
 
         def local_simhash(text):
-            import pandas as _pd
             ws = [w for w in re.split(r"\W+", text.lower()) if w]
-            # xxhash64 seeds differ from any local lib → recompute via Spark
-            return ws
+            if not ws:
+                return None
+            hs = _np.array([_word_hash60(w) for w in ws], dtype=_np.uint64)
+            bits = ((hs[:, None] >> _np.arange(SIMHASH_BITS, dtype=_np.uint64)[None, :])
+                    & 1).astype(_np.int32)
+            votes = (2 * bits - 1).sum(axis=0)
+            fp = 0
+            for b in _np.flatnonzero(votes > 0):
+                fp |= 1 << int(b)
+            return fp
 
-        # structural checks: deterministic across two runs, 64-bit ints
+        # the portable polynomial hash is reproducible without Spark
+        for _, r in docs_pd.head(15).iterrows():
+            want = local_simhash(r["text"])
+            if want is None:
+                assert r["doc_id"] not in by_doc
+            else:
+                assert by_doc[r["doc_id"]] == want, r["doc_id"]
+
         got2 = simhash_fingerprints(documents).toPandas()
         assert dict(zip(got2["doc_id"], got2["fingerprint"])) == by_doc
-        assert all(isinstance(v, (int, _np.integer)) for v in by_doc.values())
 
 
 class TestSimilarity:
@@ -256,10 +272,30 @@ class TestTextStats:
 
         a = fingerprints(documents).toPandas()
         b = fingerprints(documents).toPandas()
-        fa = dict(zip(a["doc_id"], a["fingerprint"].map(tuple)))
-        fb = dict(zip(b["doc_id"], b["fingerprint"].map(tuple)))
+        fa = {d: tuple(g["fp"].sort_values()) for d, g in a.groupby("doc_id")}
+        fb = {d: tuple(g["fp"].sort_values()) for d, g in b.groupby("doc_id")}
         assert fa == fb
         assert len(set(fa.values())) > len(fa) // 2  # mostly distinct
+
+    def test_fingerprints_match_local_model(self, documents, docs_pd):
+        import numpy as np
+
+        from veloci_spark.pipeline.textstats import (
+            FP_MOD, FP_POWERS, FP_WINDOW, fingerprints)
+
+        got = fingerprints(documents).toPandas()
+        by_doc = {d: sorted(g["fp"]) for d, g in got.groupby("doc_id")}
+        powers = np.array(FP_POWERS, dtype=np.int64)
+        for _, r in docs_pd.head(10).iterrows():
+            cps = np.array([ord(c) for c in r["text"].lower()], dtype=np.int64)
+            if len(cps) < FP_WINDOW:
+                assert r["doc_id"] not in by_doc
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(cps, FP_WINDOW)
+            hashes = (win * powers[None, :]).sum(axis=1) % FP_MOD
+            mins = np.minimum.reduceat(
+                hashes, np.arange(0, len(hashes), FP_WINDOW))
+            assert by_doc.get(r["doc_id"], []) == sorted(set(int(m) for m in mins))
 
 
 class TestMultimodal:
@@ -289,3 +325,76 @@ class TestMultimodal:
         frames = frame_sample(imgs).toPandas()
         assert set(frames["frame_idx"]) == {0, 1, 2, 3}
         assert (frames.groupby("doc_id").size() == 4).all()
+
+
+class TestSkewSafety:
+    """Scale-killer guards: heavily duplicated texts and boilerplate shingles
+    must not create giant rows / quadratic hot-key joins."""
+
+    def test_exact_duplicates_giant_group_stays_flat(self, spark):
+        from veloci_spark.pipeline.dedup import exact_duplicates
+
+        n = 20_000
+        df = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.lit("same boilerplate page text repeated everywhere").alias("text"))
+        out = exact_duplicates(df)
+        # one row per member (flat join-back), canonical = min id
+        assert out.count() == n
+        assert out.agg(F.max("canonical_id")).first()[0] == 0
+        # no array column anywhere in the plan output schema
+        assert all("array" not in f.dataType.simpleString()
+                   for f in out.schema.fields)
+
+    def test_hot_shingle_is_excluded(self, spark):
+        from veloci_spark.pipeline.dedup import ngram_jaccard_pairs
+
+        # 200 docs share one boilerplate phrase but are otherwise disjoint →
+        # with the df cap the boilerplate shingles drop out and no pair
+        # qualifies; without the cap this would be a 200² hot-key join
+        rows = [(i, f"click here to subscribe now for free stuff w{i}a w{i}b w{i}c")
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = ngram_jaccard_pairs(df, threshold=0.3, max_shingle_df=50).toPandas()
+        assert len(got) == 0
+        # sanity: with the cap lifted the boilerplate dominates and pairs appear
+        got2 = ngram_jaccard_pairs(df, threshold=0.3, max_shingle_df=None).toPandas()
+        assert len(got2) > 0
+
+    def test_simhash_hot_bucket_dropped(self, spark):
+        from veloci_spark.pipeline.dedup import simhash_near_duplicates
+
+        # 50 identical docs → one bucket of 50 in every block; max_bucket=10
+        # drops them from candidate generation (exact dedup handles them)
+        rows = [(i, "identical text in every document here") for i in range(50)]
+        rows += [(100, "some other distinct content alpha beta"),
+                 (101, "some other distinct content alpha beta")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = simhash_near_duplicates(df, hamming=3, max_bucket=10).toPandas()
+        pairs = set(zip(got["doc_a"], got["doc_b"]))
+        assert (100, 101) in pairs
+        assert not any(a < 50 and b < 50 for a, b in pairs)
+
+    def test_regex_dictionary_collect_capped(self, spark_tmp_index):
+        from veloci_spark.search import FulltextIndex, match_terms
+
+        idx, n_terms = spark_tmp_index
+        # match-everything regex on the distributed (no local dict) path
+        dist = FulltextIndex(idx.spark, idx.index_dir, local_dict_max_terms=0)
+        m = match_terms(dist, "text", ".*", is_regex=True)
+        assert len(m) <= 100_000
+        assert len(m) > 0
+
+
+@pytest.fixture(scope="session")
+def spark_tmp_index(spark, tmp_path_factory):
+    from veloci_spark.build import build_index
+    from veloci_spark.config import webtext_config
+    from veloci_spark.search import FulltextIndex
+    from veloci_spark.synth import generate_df
+
+    d = str(tmp_path_factory.mktemp("skewidx"))
+    docs = generate_df(spark, 200)
+    build_index(spark, docs, webtext_config(segment_docs=64), d)
+    idx = FulltextIndex(spark, d)
+    return idx, idx.manifest["n_terms"]

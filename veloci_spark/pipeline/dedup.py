@@ -3,20 +3,36 @@ embedding-cosine near-dup.
 
 Scale notes (the whole point of these shapes):
 
-* exact — one hash-groupBy; partial aggregation makes the common case
-  (unique doc) map-side only.
+* exact — one hash-groupBy for the canonical ids, then a join back on the
+  text hash: a 10M-duplicate boilerplate page stays 10M flat rows, never one
+  10M-element array cell.
 * MinHash+LSH — shingle → k minhashes → band buckets → *bucket join*: the
-  only shuffle is by (band, bucket-hash); candidate pairs are verified with
-  the real Jaccard estimate. All-pairs comparison never happens.
-* SimHash — 64-bit fingerprint; near-dup = identical fingerprint per
-  rotation band (Hamming ≤ k via k+1 block split, pigeonhole).
+  only shuffle is by (band, bucket-hash). Candidate pairs are then verified
+  with the **exact** n-gram Jaccard (computed over the candidates only), so
+  the emitted pair set equals the brute-force answer whenever LSH recall is
+  1 — which the default banding (32 bands × 2 rows at threshold 0.8 →
+  miss probability ≈ 0.36³² ≈ 10⁻¹⁴ per qualifying pair) makes effectively
+  certain. All-pairs comparison never happens.
+* SimHash — 60-bit fingerprint from portable polynomial word hashes (exact
+  SQL twin exists); near-dup = identical fingerprint per block (Hamming ≤ k
+  via k+1 block split, pigeonhole — exhaustive, not probabilistic).
 * n-gram Jaccard — inverted shingle index join; pairs sharing ≥1 shingle
   only, then exact Jaccard via intersection counts (no UDF in the join).
-* embedding cosine — unit-normalize + LSH by random-hyperplane sign bits,
-  verify candidates with the true cosine.
+  Shingles above ``max_shingle_df`` docs ("click here to…" boilerplate) are
+  excluded from the index — they would create a quadratic hot-key join.
+* embedding cosine — unit-normalize + multi-table random-hyperplane LSH
+  (L tables × b sign bits, candidates unioned across tables), verify with
+  the true cosine. One table alone has ~8% recall at cos 0.9; the default
+  24×6 tables push the per-pair miss probability below 10⁻⁵.
 
-All hashing is deterministic (xxhash-free: Spark's ``hash``/``crc32`` and
-explicit polynomial hashes) so results are stable across runs/cluster sizes.
+All hashing is deterministic and seed-stable across runs/cluster sizes; the
+minhash permutations use Spark's ``xxhash64`` base hash (JVM-side), the
+simhash word hash is a modular polynomial that plain SQL reproduces.
+
+Hot-bucket safety: every bucket-join operator caps its bucket size
+(``max_bucket``); buckets above the cap (all-identical boilerplate, empty
+docs) are dropped from *candidate generation* — run ``exact_duplicates``
+first, which handles identical texts at linear cost.
 """
 
 from __future__ import annotations
@@ -33,16 +49,28 @@ from pyspark.sql import functions as F
 def exact_duplicates(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical texts: (canonical_id, doc_id) for every doc in
-    a duplicate group, canonical = min id. One hash-partial-agg shuffle."""
+    a duplicate group, canonical = min id.
+
+    One hash-partial-agg shuffle to find (text-hash → canonical, size), then
+    a join back to the docs — group membership stays one ROW per member, so a
+    single text duplicated 10M times produces 10M join rows spread over the
+    cluster, not one 10M-element ``collect_list`` cell on one executor.
+    Joining on the 64-bit text hash (not the full text) keeps the shuffle
+    narrow; a hash collision would merge two groups, so the join re-checks
+    the text itself.
+    """
+    h = F.xxhash64(F.col(text_col))
     groups = (
-        docs.groupBy(text_col)
+        docs.groupBy(h.alias("_th"), F.col(text_col).alias("_t"))
         .agg(F.min(id_col).alias("canonical_id"),
-             F.sort_array(F.collect_list(id_col)).alias("members"),
              F.count("*").alias("group_size"))
         .where(F.col("group_size") > 1)
     )
     return (
-        groups.select("canonical_id", F.explode("members").alias(id_col))
+        docs.select(F.col(id_col), F.col(text_col), h.alias("_th"))
+        .join(groups, on="_th", how="inner")
+        .where(F.col(text_col) == F.col("_t"))
+        .select("canonical_id", id_col)
         .orderBy("canonical_id", id_col)
     )
 
@@ -74,6 +102,37 @@ def shingle_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
         .distinct()
+    )
+
+
+def _filter_hot_shingles(sh: DataFrame, max_shingle_df: int | None) -> DataFrame:
+    """Drop shingles whose doc frequency exceeds the cap — the quadratic
+    hot keys of any shingle join. Boilerplate phrases shared by millions of
+    docs carry almost no Jaccard information but dominate the join cost."""
+    if max_shingle_df is None:
+        return sh
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    keep = dfreq.where(F.col("_df") <= max_shingle_df).select("shingle")
+    return sh.join(keep, "shingle", "left_semi")
+
+
+def _exact_jaccard_for_pairs(cands: DataFrame, sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidates → exact shingle-set Jaccard columns.
+    Shuffles only the candidate pairs + their shingle rows."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard",
+                    F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")))
     )
 
 
@@ -115,9 +174,11 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 64,
     return grouped.select("doc_id", sig("hs").alias("signature"))
 
 
-def minhash_candidates(signatures: DataFrame, bands: int = 16) -> DataFrame:
+def minhash_candidates(signatures: DataFrame, bands: int = 32,
+                       max_bucket: int = 1000) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs
-    (doc_a < doc_b). The only shuffle is the groupBy on (band, bucket)."""
+    (doc_a < doc_b). The only shuffle is the groupBy on (band, bucket).
+    Buckets larger than ``max_bucket`` are dropped (hot-bucket guard)."""
     sig_len_col = F.size("signature")
     rows_per_band = F.floor(sig_len_col / bands).cast("int")
     banded = (
@@ -134,7 +195,7 @@ def minhash_candidates(signatures: DataFrame, bands: int = 16) -> DataFrame:
     grouped = banded.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_set("doc_id")).alias("members"))
     pairs = (
-        grouped.where(F.size("members") > 1)
+        grouped.where((F.size("members") > 1) & (F.size("members") <= max_bucket))
         .select(F.explode(_pairs_expr("members")).alias("p"))
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
@@ -153,65 +214,98 @@ def _pairs_expr(members_col: str):
 
 def minhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
                             id_col: str = "doc_id", n: int = 3,
-                            num_hashes: int = 64, bands: int = 16,
-                            threshold: float = 0.8) -> DataFrame:
-    """Full MinHash+LSH pipeline: candidates verified by signature-estimated
-    Jaccard ≥ threshold. Returns (doc_a, doc_b, est_jaccard)."""
-    sh = shingle_df(docs, text_col, id_col, n)
-    sigs = minhash_signatures(sh, num_hashes).cache()
-    cands = minhash_candidates(sigs, bands)
-    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
-    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0), lambda acc, v: acc + v
-    ) / F.size("sig_a")
+                            num_hashes: int = 64, bands: int = 32,
+                            threshold: float = 0.8,
+                            max_shingle_df: int | None = 10_000,
+                            max_bucket: int = 1000) -> DataFrame:
+    """Full MinHash+LSH pipeline: band-bucket candidates verified with the
+    EXACT n-gram Jaccard (recomputed over the candidate pairs only).
+    Returns (doc_a, doc_b, inter, size_a, size_b, jaccard), jaccard ≥
+    threshold.
+
+    Because verification is exact, the output equals brute-force n-gram
+    Jaccard whenever LSH recall is 1; the default 32 bands × 2 rows give a
+    qualifying pair at j=0.8 a miss probability of (1-0.8²)³² ≈ 10⁻¹⁴.
+    """
+    sh = _filter_hot_shingles(shingle_df(docs, text_col, id_col, n),
+                              max_shingle_df).cache()
+    sigs = minhash_signatures(sh, num_hashes)
+    cands = minhash_candidates(sigs, bands, max_bucket)
     return (
-        cands.join(a, "doc_a").join(b, "doc_b")
-        .withColumn("est_jaccard", est)
-        .where(F.col("est_jaccard") >= threshold)
-        .select("doc_a", "doc_b", "est_jaccard")
+        _exact_jaccard_for_pairs(cands, sh)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
 
 
 # ---------------------------------------------------------------------------
-# SimHash
+# SimHash (portable fingerprint: exact SQL twin exists)
+
+# Two independent 30-bit modular polynomial hashes per word, concatenated to
+# a 60-bit fingerprint space. Horner form h = (h*B + codepoint) mod P — every
+# intermediate fits in int64, so DuckDB/ANSI SQL reproduces it bit-for-bit
+# (no xxhash64 dependency on the fingerprint path).
+SIMHASH_BITS = 60
+_SH_B1, _SH_P1 = 131, 1_000_000_007
+_SH_B2, _SH_P2 = 137, 998_244_353
+
+
+def _word_hash60(word: str) -> int:
+    h1 = 0
+    h2 = 0
+    for c in word:
+        cp = ord(c)
+        h1 = (h1 * _SH_B1 + cp) % _SH_P1
+        h2 = (h2 * _SH_B2 + cp) % _SH_P2
+    return ((h1 % (1 << 30)) << 30) | (h2 % (1 << 30))
 
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over word tokens: sign of per-bit weighted sums of
-    token hashes. Vectorized Arrow kernel (bit matrix via numpy unpackbits)."""
+    """60-bit SimHash over word tokens: sign of per-bit weighted sums of
+    portable word hashes. Vectorized Arrow kernel; word hashes are memoized
+    per batch (vocabulary ≪ token count)."""
     words = F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda w: w != "")
     tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("w"))
-    hashed = tok.withColumn("h", F.xxhash64("w")).groupBy("doc_id").agg(
-        F.collect_list("h").alias("hs"))
+    hashed_words = tok.groupBy("doc_id").agg(F.collect_list("w").alias("ws"))
 
     @F.pandas_udf("long")
-    def simhash(hs: pd.Series) -> pd.Series:
-        out = np.empty(len(hs), dtype=np.int64)
-        for i, arr in enumerate(hs):
-            x = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            bits = ((x[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+    def simhash(ws: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+        out = np.empty(len(ws), dtype=np.int64)
+        bit_range = np.arange(SIMHASH_BITS, dtype=np.uint64)
+        for i, words_arr in enumerate(ws):
+            hs = np.empty(len(words_arr), dtype=np.uint64)
+            for j, w in enumerate(words_arr):
+                h = memo.get(w)
+                if h is None:
+                    h = _word_hash60(w)
+                    memo[w] = h
+                hs[j] = h
+            bits = ((hs[:, None] >> bit_range[None, :]) & 1).astype(np.int32)
             votes = (2 * bits - 1).sum(axis=0)
             fp = np.uint64(0)
             for bpos in np.flatnonzero(votes > 0):
                 fp |= np.uint64(1) << np.uint64(bpos)
-            out[i] = np.int64(fp.astype(np.int64))
+            out[i] = np.int64(fp)
         return pd.Series(out)
 
-    return hashed.select("doc_id", simhash("hs").alias("fingerprint"))
+    return hashed_words.select("doc_id", simhash("ws").alias("fingerprint"))
 
 
 def simhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
-                            id_col: str = "doc_id", hamming: int = 3) -> DataFrame:
-    """Pairs with Hamming(fp_a, fp_b) ≤ hamming. Pigeonhole: split the 64-bit
+                            id_col: str = "doc_id", hamming: int = 3,
+                            max_bucket: int = 1000) -> DataFrame:
+    """Pairs with Hamming(fp_a, fp_b) ≤ hamming. Pigeonhole: split the 60-bit
     fingerprint into hamming+1 blocks; any pair within distance must agree on
-    ≥1 block → bucket-join per block, verify with bit_count."""
-    fps = simhash_fingerprints(docs, text_col, id_col).cache()
+    ≥1 block → bucket-join per block, verify with bit_count. Exhaustive (the
+    pair set equals brute force) as long as no bucket exceeds ``max_bucket``;
+    over-cap buckets (identical boilerplate) are dropped — run
+    ``exact_duplicates`` first for those."""
+    fps = simhash_fingerprints(docs, text_col, id_col)
     k = hamming + 1
-    block_bits = 64 // k
+    block_bits = SIMHASH_BITS // k
     blocked = fps.select(
         "doc_id", "fingerprint",
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("blk"),
@@ -222,7 +316,7 @@ def simhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
     grouped = blocked.groupBy("blk", "key").agg(
         F.sort_array(F.collect_set(F.struct("doc_id", "fingerprint"))).alias("members"))
     pairs = (
-        grouped.where(F.size("members") > 1)
+        grouped.where((F.size("members") > 1) & (F.size("members") <= max_bucket))
         .select(F.explode(_pairs_expr("members")).alias("p"))
         .select(F.col("p.a.doc_id").alias("doc_a"),
                 F.col("p.a.fingerprint").alias("fp_a"),
@@ -243,11 +337,14 @@ def simhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
 
 def ngram_jaccard_pairs(docs: DataFrame, *, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_shingle_df: int | None = 10_000) -> DataFrame:
     """Exact Jaccard over word n-gram shingle sets for pairs sharing ≥1
     shingle: |A∩B| from the inverted join, |A|,|B| from per-doc counts —
-    pure joins + aggregations, fully JVM-side."""
-    sh = shingle_df(docs, text_col, id_col, n).cache()
+    pure joins + aggregations, fully JVM-side. Shingles in more than
+    ``max_shingle_df`` docs are excluded (hot-key quadratic-join guard)."""
+    sh = _filter_hot_shingles(shingle_df(docs, text_col, id_col, n),
+                              max_shingle_df).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -275,44 +372,59 @@ def ngram_jaccard_pairs(docs: DataFrame, *, text_col: str = "text",
 def embedding_near_duplicates(emb: DataFrame, *, id_col: str = "vec_id",
                               vec_col: str = "embedding",
                               threshold: float = 0.95,
-                              planes: int = 16, seed: int = 11) -> DataFrame:
-    """Near-duplicate vectors by cosine ≥ threshold. Random-hyperplane LSH
-    buckets (sign-bit key) prune candidates; true cosine verifies. Returns
-    (id_a, id_b, cosine)."""
+                              planes: int = 6, tables: int = 24,
+                              seed: int = 11,
+                              max_bucket: int = 1000) -> DataFrame:
+    """Near-duplicate vectors by cosine ≥ threshold. Multi-table
+    random-hyperplane LSH: ``tables`` independent tables of ``planes`` sign
+    bits each; candidates = pairs sharing any table bucket, unioned, then
+    verified with the true cosine. Returns (id_a, id_b, cosine).
+
+    Recall: a pair at cosine θ agrees on one plane with probability
+    1 − acos(θ)/π (≈0.857 at θ=0.9); the default 24 tables × 6 planes give a
+    per-pair miss probability (1 − 0.857⁶)²⁴ ≈ 6·10⁻⁶ — one 16-plane table
+    (the naive single-table key) would miss ~92% of such pairs.
+    """
     first = emb.select(F.size(vec_col).alias("d")).first()
     if first is None:
         return emb.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cosine double")
     dim = first["d"]
     rng = np.random.RandomState(seed)
-    h = rng.normal(size=(planes, dim))
+    h = rng.normal(size=(tables, planes, dim))
 
-    @F.pandas_udf("long")
-    def bucket(vs: pd.Series) -> pd.Series:
+    @F.pandas_udf("array<long>")
+    def bucket_keys(vs: pd.Series) -> pd.Series:
         mat = np.vstack(vs.values).astype(np.float64)
-        signs = (mat @ h.T) > 0
-        keys = np.zeros(len(vs), dtype=np.int64)
-        for b in range(planes):
-            keys |= signs[:, b].astype(np.int64) << b
-        return pd.Series(keys)
+        out = np.empty((len(vs), tables), dtype=np.int64)
+        for t in range(tables):
+            signs = (mat @ h[t].T) > 0  # (n, planes)
+            keys = np.zeros(len(vs), dtype=np.int64)
+            for b in range(planes):
+                keys |= signs[:, b].astype(np.int64) << b
+            out[:, t] = keys
+        return pd.Series(list(out))
 
     with_b = emb.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v")) \
-                .withColumn("key", bucket("v"))
-    grouped = with_b.groupBy("key").agg(
-        F.sort_array(F.collect_list(F.struct("doc_id"))).alias("members"))
+                .withColumn("keys", bucket_keys("v"))
+    exploded = with_b.select(
+        "doc_id", F.posexplode("keys").alias("table", "key"))
+    grouped = exploded.groupBy("table", "key").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("members"))
     cand = (
-        grouped.where(F.size("members") > 1)
+        grouped.where((F.size("members") > 1) & (F.size("members") <= max_bucket))
         .select(F.explode(_pairs_expr("members")).alias("p"))
-        .select(F.col("p.a.doc_id").alias("id_a"), F.col("p.b.doc_id").alias("id_b"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
     va = with_b.select(F.col("doc_id").alias("id_a"), F.col("v").alias("va"))
     vb = with_b.select(F.col("doc_id").alias("id_b"), F.col("v").alias("vb"))
 
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y:
+                                 x.cast("double") * y.cast("double")),
                       F.lit(0.0).cast("double"), lambda acc, v: acc + v)
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(F.col(c), lambda x: x * x),
+        F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0).cast("double"), lambda acc, v: acc + v))
     return (
         cand.join(va, "id_a").join(vb, "id_b")

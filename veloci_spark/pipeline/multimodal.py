@@ -30,11 +30,12 @@ IMAGE_META_SCHEMA = T.StructType([
 
 
 def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Deterministic fake decode: seeded by payload hash, correct shape."""
-    seed = np.uint32(np.frombuffer(
-        np.array([hash(payload) & 0xFFFFFFFF], dtype=np.uint32).tobytes(),
-        dtype=np.uint32)[0])
-    rng = np.random.RandomState(int(seed))
+    """Deterministic fake decode: seeded by a crc32 of the payload (stable
+    across processes/workers — unlike Python ``hash``, which depends on
+    PYTHONHASHSEED), correct shape."""
+    import zlib
+
+    rng = np.random.RandomState(zlib.crc32(payload) & 0xFFFFFFFF)
     return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 

@@ -87,32 +87,45 @@ def token_counts(docs: DataFrame, text_col: str = "text",
     )
 
 
+# Winnowing fingerprint parameters. The hash is a polynomial over unicode
+# code points mod a 30-bit prime: every intermediate fits in int64
+# (codepoint < 2^21, power < 2^30, window-sum < 2^55), so the EXACT same
+# arithmetic is expressible in plain SQL (the DuckDB oracle recomputes it).
+FP_WINDOW = 8
+FP_BASE = 131
+FP_MOD = 1_000_000_007
+FP_POWERS = [pow(FP_BASE, FP_WINDOW - 1 - j, FP_MOD) for j in range(FP_WINDOW)]
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                 window: int = 8) -> DataFrame:
-    """Winnowing-style document fingerprint: polynomial rolling hash over the
-    lowercased text, min hash per sliding window, distinct mins kept.
-    Vectorized kernel (numpy sliding_window_view)."""
-    B = np.uint64(1000003)
+                 window: int = FP_WINDOW) -> DataFrame:
+    """Winnowing-style document fingerprints as FLAT rows (doc_id, fp):
+    polynomial rolling hash over the lowercased text's code points, min hash
+    per non-overlapping block of ``window`` positions, distinct mins kept.
+    Vectorized kernel (numpy sliding_window_view); one row per fingerprint so
+    downstream joins (shared-fingerprint candidate pairs) need no explode."""
+    powers = np.array([pow(FP_BASE, window - 1 - j, FP_MOD) for j in range(window)],
+                      dtype=np.int64)
+    out_schema = "doc_id long, fp long"
 
-    @F.pandas_udf("array<long>")
-    def fp(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            if not t or len(t) < window:
-                out.append([])
-                continue
-            b = np.frombuffer(t.lower().encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-            # rolling polynomial hash of k-grams (k = window)
-            powers = B ** np.arange(window, dtype=np.uint64)[::-1]
-            if len(b) < window:
-                out.append([])
-                continue
-            win = np.lib.stride_tricks.sliding_window_view(b, window)
-            hashes = (win * powers[None, :]).sum(axis=1)
-            mins = np.minimum.reduceat(
-                hashes, np.arange(0, len(hashes), window))
-            out.append(sorted({int(np.int64(m.astype(np.int64))) for m in mins}))
-        return pd.Series(out)
+    def fp_rows(iterator):
+        for pdf in iterator:
+            ids_out, fp_out = [], []
+            for doc_id, t in zip(pdf[id_col].values, pdf[text_col].values):
+                if not t:
+                    continue
+                cps = np.array([ord(c) for c in t.lower()], dtype=np.int64)
+                if len(cps) < window:
+                    continue
+                win = np.lib.stride_tricks.sliding_window_view(cps, window)
+                hashes = (win * powers[None, :]).sum(axis=1) % FP_MOD
+                mins = np.minimum.reduceat(
+                    hashes, np.arange(0, len(hashes), window))
+                uniq = sorted(set(int(m) for m in mins))
+                ids_out.extend([doc_id] * len(uniq))
+                fp_out.extend(uniq)
+            yield pd.DataFrame({"doc_id": pd.Series(ids_out, dtype="int64"),
+                                "fp": pd.Series(fp_out, dtype="int64")})
 
-    return docs.select(F.col(id_col).alias("doc_id"),
-                       fp(F.col(text_col)).alias("fingerprint"))
+    return docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)) \
+        .mapInPandas(fp_rows, schema=out_schema)

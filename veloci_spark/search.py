@@ -174,7 +174,13 @@ def match_terms(index: FulltextIndex, field: str, term: str, *,
             (F.length("term") >= n_chars - d_auto) & (F.length("term") <= n_chars + d_auto)
         ).where(lev_sel(F.col("term")))
 
-    rows = cand.select("term", "term_id").toPandas()
+    # cap the driver collect (same 100k bound as the identity path): a
+    # match-everything regex over a >2M-term dictionary must not stream the
+    # whole dictionary to the driver. Past the cap, matched terms beyond the
+    # first 100k dictionary hits are dropped (documented approximation; the
+    # per-leaf `top` truncation below keeps at most top+skip anyway).
+    dict_match_cap = 100_000
+    rows = cand.select("term", "term_id").limit(dict_match_cap).toPandas()
     if rows.empty:
         return pd.DataFrame(columns=["term", "term_id", "distance", "prefix", "score"])
     tl = rows["term"].str.lower()
