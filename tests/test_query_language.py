@@ -192,3 +192,167 @@ class TestHighlight:
             "search": {"terms": ["story"], "path": "text"},
             "snippets": {"field": "text"}, "top": 3})
         assert any("<b>story</b>" in (d.get("snippet") or "") for d in res["data"])
+
+
+class TestReferenceStopwords:
+    """Exact behavioral parity with the reference's shipped lists
+    (stopword_lists/{en,de}, loaded lowercased by stopwords.rs)."""
+
+    def test_reference_list_membership(self):
+        from veloci_spark.query import is_stopword
+
+        # ported reference test (stopwords.rs test_stopword)
+        for w in ("und", "der", "die", "das"):
+            assert is_stopword("de", w)
+        # words the round-1 generic list missed but the reference removes
+        for w in ("will", "one", "time", "can", "must", "mr", "i", "first",
+                  "know", "said", "upon", "two"):
+            assert is_stopword("en", w)
+        # words the generic list removed but the reference KEEPS
+        for w in ("above", "again", "because", "being", "below", "between",
+                  "both", "during", "each", "few", "how", "why", "too"):
+            assert not is_stopword("en", w)
+
+    def test_filter_stopwords_reference_case(self):
+        # ported: filter_stopwords(parse("die erbin"), de) == "erbin"
+        from veloci_spark.query import query_to_request
+
+        req = query_to_request("die erbin", search_fields=["text"],
+                               stopword_lists=["de"])
+        assert req["search_req"] == {
+            "search": {"terms": ["erbin"], "levenshtein_distance": 1,
+                       "path": "text"}}
+
+    def test_will_is_removed_by_default(self):
+        from veloci_spark.query import query_to_request
+
+        req = query_to_request("will urge", search_fields=["text"])
+        assert req["search_req"]["search"]["terms"] == ["urge"]
+
+    def test_language_scoping(self):
+        from veloci_spark.query import query_to_request
+
+        # "will" is only an EN stopword: with de-only lists it survives
+        req = query_to_request("will urge", search_fields=["text"],
+                               stopword_lists=["de"])
+        terms = str(req["search_req"])
+        assert "will" in terms and "urge" in terms
+
+
+class TestMidWordWildcard:
+    def test_midword_star_becomes_regex(self):
+        from veloci_spark.query import _parse_word
+
+        t = _parse_word("fo*ba")
+        assert t.is_regex and t.text == "fo.*ba"
+        assert not t.starts_with and t.levenshtein is None
+
+    def test_trailing_star_stays_prefix(self):
+        from veloci_spark.query import _parse_word
+
+        t = _parse_word("fooba*")
+        assert not t.is_regex and t.starts_with and t.text == "fooba"
+
+    def test_combined_mid_and_trailing(self):
+        # reference: starts_with popped first, remaining * → regex
+        from veloci_spark.query import _parse_word
+
+        t = _parse_word("fo*ba*")
+        assert t.is_regex and t.starts_with and t.text == "fo.*ba"
+
+    def test_regex_escapes_specials(self):
+        from veloci_spark.query import _parse_word
+
+        t = _parse_word("a.b*c")
+        assert t.is_regex and t.text == r"a\.b.*c"
+
+    def test_generator_emits_regex_leaf(self):
+        from veloci_spark.query import query_to_request
+
+        req = query_to_request("maj*tischer", search_fields=["text"],
+                               remove_stopwords=False)
+        leaf = req["search_req"]["search"]
+        assert leaf["is_regex"] and leaf["terms"] == ["maj.*tischer"]
+        assert leaf["levenshtein_distance"] == 0
+        assert "phrase_boosts" not in req
+
+    def test_wildcard_end_to_end(self, spark_index, ref_index):
+        from veloci_spark import pyref
+        from veloci_spark.query import query_to_request
+        from veloci_spark.search import search
+
+        req = query_to_request("maj*tischer", search_fields=["text"],
+                               remove_stopwords=False)
+        got = search(spark_index, req)
+        want = pyref.search_request(ref_index, {
+            "search": {"terms": ["maj.*tischer"], "path": "text",
+                       "is_regex": True}, "top": 10})
+        assert [d["doc_id"] for d in got["data"]] == [d for d, _s in want]
+
+
+class TestNumHits:
+    def test_plain_query_reports_lower_bound(self, spark_index):
+        from veloci_spark.search import search
+
+        res = search(spark_index, {"search": {"terms": ["will"], "path": "text"},
+                                   "top": 3})
+        assert not res["num_hits_exact"]
+        assert res["num_hits"] == len(res["data"]) <= 3
+
+    def test_exact_count_matches_oracle(self, spark_index, ref_index):
+        from veloci_spark import pyref
+        from veloci_spark.search import search
+
+        req = {"or": [{"search": {"terms": ["will"], "path": "text"}},
+                      {"search": {"terms": ["urge"], "path": "text"}}], "top": 3}
+        res = search(spark_index, {**req, "exact_count": True})
+        want = pyref.search_request(ref_index, {**req, "top": 10**9})
+        assert res["num_hits_exact"]
+        assert res["num_hits"] == len(want)
+        assert len(res["data"]) == 3
+
+
+class TestSuggestMulti:
+    def test_multi_field_merge(self, spark_index):
+        from veloci_spark.search import suggest, suggest_multi
+
+        single = suggest(spark_index, "text", "ma", top=50)
+        multi = suggest_multi(spark_index, ["text", "lang"], "ma", top=50)
+        assert set(t for t, _ in single) <= set(t for t, _ in multi)
+        # scores sorted descending
+        scores = [s for _, s in multi]
+        assert scores == sorted(scores, reverse=True)
+
+
+class TestExplainHits:
+    @pytest.mark.parametrize("req", [
+        {"search": {"terms": ["urge"], "path": "text"}, "top": 5},
+        {"or": [{"search": {"terms": ["will"], "path": "text"}},
+                {"search": {"terms": ["urge"], "path": "text"}}], "top": 5},
+        {"and": [{"search": {"terms": ["greg"], "path": "text"}},
+                 {"search": {"terms": ["tagebuch"], "path": "text"}}], "top": 5},
+        {"search": {"terms": ["erbin"], "path": "text"},
+         "phrase_boosts": [{"path": "text",
+                            "search1": {"terms": ["die"], "path": "text"},
+                            "search2": {"terms": ["erbin"], "path": "text"}}],
+         "top": 5},
+        {"or": [{"search": {"terms": ["text"], "path": "text"}},
+                {"search": {"terms": ["localität"], "path": "text"}}],
+         "text_locality": True, "top": 5},
+        {"or": [{"search": {"terms": ["will"], "path": "text"}},
+                {"search": {"terms": ["urge"], "path": "text"}}],
+         "boost_term": [{"terms": ["testo"], "path": "text", "boost": 5.0}],
+         "top": 5},
+    ], ids=lambda r: str(r)[:45])
+    def test_last_step_equals_hit_score(self, spark_index, req):
+        import numpy as np
+
+        from veloci_spark.search import search
+
+        res = search(spark_index, {**req, "explain_hits": True})
+        assert res["data"], "query must hit for the test to mean anything"
+        for d in res["data"]:
+            steps = d["explain"]
+            assert steps, d
+            assert np.float32(steps[-1]["score"]) == np.float32(d["score"]), (
+                d["doc_id"], steps)

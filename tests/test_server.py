@@ -48,3 +48,25 @@ def test_server_endpoints(spark_index, corpus):
         assert e.code == 404
     finally:
         httpd.shutdown()
+
+
+def test_idtree_and_multi_suggest(spark_index, corpus):
+    import urllib.request
+
+    from veloci_spark.server import serve
+
+    httpd = serve({"webtext": spark_index}, port=0, background=True)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}/webtext"
+    try:
+        # _idtree: doc reconstructed from the index's field relations
+        doc = _get(f"{base}/_idtree/3")
+        assert doc["text"] == corpus[3]["text"]
+        assert doc["url"] == corpus[3]["url"]
+
+        res = _get(f"{base}/suggest?query=ma&fields=text,lang")
+        assert res["suggestions"]
+        scores = [s for _t, s in res["suggestions"]]
+        assert scores == sorted(scores, reverse=True)
+    finally:
+        httpd.shutdown()

@@ -1,0 +1,201 @@
+"""Per-hit score explanation (Q: reference ``explain``,
+/root/reference/src/search/result/explain.rs — Explain steps:
+LevenshteinScore / TermToAnchor / MaxTokenToTextId / OrSumOverDistinctTerms /
+NumDistintTermsBoost / Boost).
+
+The segment kernel ranks without remembering *why*; explanation re-derives
+each returned doc's score from the same inputs (matched dictionary terms ×
+stored posting scores), walking the request tree with the identical float32
+arithmetic — so ``steps[-1]["score"] == hit score`` exactly. Cost: one
+partition-pruned posting scan over the result docs' segments (top-k docs
+only — never the full hit set).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+_F32 = np.float32
+
+
+def _doc_leaf_entries(index, leaves, doc_ids):
+    """(doc_id, leaf_id) → list of (term, term_score, stored_u32, final_f32)
+    from the postings of the matched dictionary terms (identity leaves are
+    resolved against the doc store)."""
+    from veloci_spark.search import IDENTITY_STORED, _identity_scores
+    from veloci_spark.vbyte import unpack_postings
+
+    segment_docs = index.manifest["segment_docs"]
+    segs = sorted({d // segment_docs for d in doc_ids})
+    want = np.array(sorted(doc_ids), dtype=np.int64)
+    out: dict[tuple[int, int], list] = {}
+
+    tid_rows: dict[tuple[str, int], list] = {}  # (field, term_id) -> [(leaf, term, tscore)]
+    for leaf in leaves:
+        if leaf.matched is None:
+            continue
+        for _, r in leaf.matched.iterrows():
+            tid_rows.setdefault((leaf.field, int(r["term_id"])), []).append(
+                (leaf.leaf_id, r["term"], _F32(r["score"])))
+    if tid_rows:
+        fields = list({f for f, _ in tid_rows})
+        tids = list({t for _, t in tid_rows})
+        rows = (
+            index.postings
+            .where(F.col("segment").isin(segs))
+            .where(F.col("field").isin(fields) & F.col("term_id").isin(tids))
+            .select("field", "term_id", "segment", "docs_bin", "scores_bin")
+            .toPandas()
+        )
+        for _, r in rows.iterrows():
+            docs, stored = unpack_postings(r["docs_bin"], r["scores_bin"])
+            docs = docs + int(r["segment"]) * segment_docs
+            present = np.isin(docs, want)
+            if not present.any():
+                continue
+            for leaf_id, term, tscore in tid_rows[(r["field"], int(r["term_id"]))]:
+                for d, s in zip(docs[present], stored[present]):
+                    fin = _F32(tscore * (np.float16(s).astype(_F32) / _F32(100.0)))
+                    out.setdefault((int(d), leaf_id), []).append(
+                        (term, float(tscore), int(s), float(fin)))
+
+    # identity leaves: the doc-store value IS the dictionary entry
+    for leaf in leaves:
+        if leaf.matched is not None:
+            continue
+        fc = index.fields[leaf.field]
+        vals = (
+            index.docs.where(F.col("doc_id").isin([int(d) for d in doc_ids]))
+            .select("doc_id", F.col(leaf.field).alias("v")).toPandas()
+        )
+        lower = leaf.term.lower()
+        n_chars = max(len(lower), 1)
+        d_auto = min(leaf.opts.get("levenshtein", 0), n_chars - 1, 4)
+        check_prefix = (leaf.opts.get("starts_with", False)
+                        or leaf.opts.get("levenshtein", 0) != 0)
+        fin = _identity_scores(vals["v"].values, lower, leaf.term, n_chars,
+                               d_auto, check_prefix,
+                               leaf.opts.get("starts_with", False),
+                               leaf.opts.get("is_regex", False))
+        for d, v, s in zip(vals["doc_id"].values, vals["v"].values, fin):
+            if not np.isnan(s):
+                ts = float(s / (np.float16(IDENTITY_STORED).astype(_F32) / _F32(100.0)))
+                out.setdefault((int(d), leaf.leaf_id), []).append(
+                    (v, ts, IDENTITY_STORED, float(s)))
+    return out
+
+
+def _explain_node(node, doc_id, entries, steps):
+    """Walk the plan tree for one doc, appending Explain steps; returns the
+    node's f32 score, or None when the doc misses the subtree."""
+    from veloci_spark.search import _tree_tag
+
+    if node["op"] == "leaf":
+        ents = entries.get((doc_id, node["leaf_id"]))
+        if not ents:
+            return None
+        for term, tscore, stored, fin in ents:
+            steps.append({"step": "term_to_anchor", "term": term,
+                          "term_score": tscore, "index_score": stored,
+                          "final_score": fin})
+        best = _F32(max(_F32(f) for _t, _ts, _s, f in ents))
+        # reference MaxTokenToTextId: leaf value = max over its term rows
+        steps.append({"step": "max_token_to_text", "score": float(best)})
+        if node.get("boost") is not None:
+            best = _F32(best * _F32(node["boost"]))
+            steps.append({"step": "boost", "factor": float(node["boost"]),
+                          "score": float(best)})
+        return best
+    kids = [(c, _explain_node(c, doc_id, entries, steps)) for c in node["children"]]
+    if len(kids) == 1:
+        return kids[0][1]
+    if node["op"] == "and":
+        if any(s is None for _c, s in kids):
+            return None
+        total = _F32(0.0)
+        for _c, s in kids:
+            total = _F32(total + s)
+        steps.append({"step": "and_sum", "score": float(total)})
+        return total
+    # OR: max per distinct tag (ascending tag order), sum, × n_distinct²
+    by_tag: dict[str, np.float32] = {}
+    for c, s in kids:
+        if s is None:
+            continue
+        t = _tree_tag(c)
+        by_tag[t] = s if t not in by_tag else max(by_tag[t], s)
+    if not by_tag:
+        return None
+    total = _F32(0.0)
+    for t in sorted(by_tag):
+        total = _F32(total + by_tag[t])
+    steps.append({"step": "or_sum_over_distinct_terms", "score": float(total)})
+    n = _F32(sum(1.0 for v in by_tag.values() if v >= _F32(1e-5)))
+    total = _F32(total * n * n)
+    steps.append({"step": "num_distinct_terms_boost",
+                  "distinct": int(n), "score": float(total)})
+    return total
+
+
+def explain_hits(index, request, doc_ids: list[int]) -> dict[int, list[dict]]:
+    """Per-document score derivation for the given (already-ranked) docs.
+    Returns doc_id → ordered list of Explain steps; the last step's score is
+    the doc's final score (pre anchor-boost)."""
+    from veloci_spark.search import _collect_leaves
+
+    (tree, _filter_tree, leaves, scored_ids, phrase_specs,
+     term_boost_leaves) = _collect_leaves(index, request)
+    entries = _doc_leaf_entries(
+        index, [l for l in leaves if l.leaf_id in scored_ids
+                or l.leaf_id in {lid for lid, _ in term_boost_leaves}],
+        doc_ids)
+
+    # phrase-pair presence per doc
+    phrase_docs: dict[int, set] = {}
+    if phrase_specs:
+        a_set = list({a for _f, a, _b in phrase_specs})
+        b_set = list({b for _f, _a, b in phrase_specs})
+        prows = (
+            index.phrase
+            .where(F.col("tok_a").isin(a_set) & F.col("tok_b").isin(b_set))
+            .where(F.col("doc_id").isin([int(d) for d in doc_ids]))
+            .select("field", "tok_a", "tok_b", "doc_id").toPandas()
+        )
+        for i, (f, a, b) in enumerate(phrase_specs):
+            hit = prows[(prows["field"] == f) & (prows["tok_a"] == a)
+                        & (prows["tok_b"] == b)]
+            for d in hit["doc_id"]:
+                phrase_docs.setdefault(int(d), set()).add(i)
+
+    out: dict[int, list[dict]] = {}
+    for d in doc_ids:
+        steps: list[dict] = []
+        score = _explain_node(tree, int(d), entries, steps)
+        if score is None:
+            out[int(d)] = steps
+            continue
+        for i in phrase_docs.get(int(d), ()):
+            score = _F32(score * _F32(5.0))
+            f, a, b = phrase_specs[i]
+            steps.append({"step": "phrase_boost", "pair": [a, b],
+                          "factor": 5.0, "score": float(score)})
+        for leaf_id, factor in term_boost_leaves:
+            if (int(d), leaf_id) in entries:
+                score = _F32(score * _F32(factor))
+                steps.append({"step": "term_boost", "factor": float(factor),
+                              "score": float(score)})
+        if request.get("text_locality"):
+            tags = {l.tag for l in leaves
+                    if l.leaf_id in scored_ids and (int(d), l.leaf_id) in entries}
+            n = len(tags)
+            if n >= 2:
+                # factor computed first, then ONE multiply — the kernel's
+                # rounding order (scores[sel] * factors)
+                factor = _F32(_F32(_F32(2.0) * _F32(n)) * _F32(n))
+                score = _F32(score * factor)
+                steps.append({"step": "text_locality_boost", "distinct": n,
+                              "factor": float(factor),
+                              "score": float(score)})
+        out[int(d)] = steps
+    return out

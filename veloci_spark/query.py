@@ -10,7 +10,11 @@ SURVEY.md §2.5), re-implemented from the documented semantics:
 * ``field:term`` restricts a term to one field
 * ``term~N`` explicit Levenshtein distance
 * quoted ``"multi word"`` is a single (exact-text) term
-* trailing ``*`` ⇒ prefix match (query_parser_to_veloci_request.rs:44-63)
+* trailing ``*`` ⇒ prefix match; a ``*`` anywhere else ⇒ the term becomes a
+  regex — parts split on ``*``, each regex-escaped, joined with ``.*`` — and
+  auto-Levenshtein is disabled (no fuzzy regex). A trailing ``*`` combined
+  with an inner one keeps ``starts_with`` semantics (regex prefix match)
+  (query_parser_to_veloci_request.rs:44-63).
 
 Generator defaults (/root/reference/src/query_generator.rs:85-132,212-223):
 
@@ -19,9 +23,13 @@ Generator defaults (/root/reference/src/query_generator.rs:85-132,212-223):
 * a bare term expands to an OR over all searchable fields (legs share the
   query-term tag, so the OR n² formula counts the term once)
 * consecutive term pairs become phrase boosts on every tokenized field
-* stopwords are removed from the query (EN/DE lists; the reference ships
-  99-word EN / 65-word DE lists — ours are the standard public lists with
-  the same role, /root/reference/src/search/stopwords.rs:1-23)
+* stopword removal: the reference removes a term when its lowercased text is
+  in any requested language list (query_parser_to_veloci_request.rs:113-127).
+  The lists below reproduce the reference's shipped lists
+  (stopword_lists/{en,de}, loaded lowercased by
+  /root/reference/src/search/stopwords.rs:1-23) word for word — 100 EN / 65
+  DE entries; pass ``stopword_lists=["en"]`` etc. to select languages, or
+  rely on ``remove_stopwords=True`` which uses EN∪DE.
 """
 
 from __future__ import annotations
@@ -29,26 +37,33 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-# standard public stopword lists (role of the reference's stopword_lists/{en,de})
+# exact behavioral twins of the reference's stopword lists (lowercased, as
+# stopwords.rs loads them): stopword_lists/en (100 words incl. "will", "one",
+# "time", "can", "must", "mr", "i") and stopword_lists/de (65 distinct).
 STOPWORDS_EN = frozenset(
-    """a about above after again all am an and any are as at be because been
-    before being below between both but by could did do does doing down during
-    each few for from further had has have having he her here hers him his how
-    i if in into is it its just me more most my no nor not of off on once only
-    or other our ours out over own same she so some such than that the their
-    them then there these they this those through to too under until up very
-    was we were what when where which while who whom why with you your""".split()
+    """a about after all an and any are as at be been before but by can could
+    did do down first for from good great had has have he her him his i if in
+    into is it its know like little made man may me men more mr much must my
+    no not now of on one only or other our out over said see she should so
+    some such than that the their them then there these they this time to two
+    up upon us very was we were what when which who will with would you
+    your""".split()
 )
 STOPWORDS_DE = frozenset(
-    """aber als am an auch auf aus bei bin bis bist da damit dann das dass dein
-    deine dem den der des dessen die dies diese dir du durch ein eine einem
-    einen einer es für hatte haben hier ich ihr ihre im in ist ja jede jedem
-    jeden jeder jedes kann kein können mein mit muss nach nicht noch nun nur
-    ob oder ohne sehr sein seine sich sie sind so über um und uns unser unter
-    vom von vor war was weiter wenn werde werden wie wieder will wir wird zu
-    zum zur""".split()
+    """aber als am an auch auf aus bei bezeichnet bis das dass dem den der des
+    die durch ein eine einem einen einer eines er es für gibt haben hat ich im
+    in ist kann man mir mit nach nicht noch nur oder sich sie siehe sind so um
+    und unter vom von vor war werden wie wird wurde wurden zu zum zur zwischen
+    über""".split()
 )
+STOPWORD_LISTS = {"en": STOPWORDS_EN, "de": STOPWORDS_DE}
 STOPWORDS = STOPWORDS_EN | STOPWORDS_DE
+
+
+def is_stopword(language: str, text: str) -> bool:
+    """Reference-parity membership check (stopwords.rs:20-23): the list is
+    lowercased at load, the caller passes the lowercased term."""
+    return text in STOPWORD_LISTS[language.lower()]
 
 
 # ---------------------------------------------------------------------------
@@ -62,6 +77,7 @@ class Term:
     levenshtein: int | None = None
     starts_with: bool = False
     quoted: bool = False
+    is_regex: bool = False
 
 
 _TOKEN_RE = re.compile(
@@ -105,11 +121,20 @@ def _parse_word(w: str) -> Term:
     if m:
         lev = int(m.group(1))
         w = w[: m.start()]
+    # wildcard handling (query_parser_to_veloci_request.rs:44-63): a single
+    # TRAILING * → fuzzy-compatible prefix search; any REMAINING * → the term
+    # becomes a regex (escape the literal parts, join with .*) and fuzzy is
+    # off. starts_with survives alongside regex (regex prefix match).
     starts_with = False
     if w.endswith("*") and len(w) > 1:
         starts_with = True
         w = w[:-1]
-    return Term(w, field=field, levenshtein=lev, starts_with=starts_with)
+    is_regex = "*" in w
+    if is_regex:
+        w = ".*".join(re.escape(p) for p in w.split("*"))
+        lev = None
+    return Term(w, field=field, levenshtein=lev, starts_with=starts_with,
+                is_regex=is_regex)
 
 
 class _Parser:
@@ -203,15 +228,16 @@ def _collect_terms(node, out):
         _collect_terms(c, out)
 
 
-def _strip_stopwords(node):
-    """Remove stopword term leaves; a node whose children all vanish
-    vanishes. If the whole query would vanish, keep it unchanged."""
+def _strip_stopwords(node, stopwords: frozenset = STOPWORDS):
+    """Remove stopword term leaves (lowercased membership, reference
+    filter_stopwords semantics); a node whose children all vanish vanishes.
+    If the whole query would vanish, keep it unchanged."""
     def strip(n):
         if n is None:
             return None
         if "term" in n:
             t = n["term"]
-            if not t.quoted and t.field is None and t.text.lower() in STOPWORDS:
+            if not t.quoted and t.field is None and t.text.lower() in stopwords:
                 return None
             return n
         op = "or" if "or" in n else "and"
@@ -231,13 +257,22 @@ def query_to_request(q: str, *, search_fields: list[str],
                      phrase_fields: list[str] | None = None,
                      levenshtein_auto_limit: int = 1,
                      remove_stopwords: bool = True,
+                     stopword_lists: list[str] | None = None,
                      top: int = 10, skip: int = 0,
                      facets: list | None = None) -> dict:
-    """Query string → engine request dict (SURVEY.md §2.5 generator)."""
+    """Query string → engine request dict (SURVEY.md §2.5 generator).
+
+    ``stopword_lists`` selects the reference's per-language lists (e.g.
+    ``["en"]``); when None, ``remove_stopwords=True`` uses EN∪DE.
+    """
     ast = parse_query(q)
     if ast is None:
         raise ValueError(f"empty query: {q!r}")
-    if remove_stopwords:
+    if stopword_lists is not None:
+        sw = frozenset().union(*(STOPWORD_LISTS[lang.lower()]
+                                 for lang in stopword_lists))
+        ast = _strip_stopwords(ast, sw)
+    elif remove_stopwords:
         ast = _strip_stopwords(ast)
     ast = _flatten(ast)
 
@@ -245,11 +280,13 @@ def query_to_request(q: str, *, search_fields: list[str],
         if "term" in node:
             t: Term = node["term"]
             lev = t.levenshtein
-            if lev is None and not t.quoted and not t.starts_with:
+            if lev is None and not t.quoted and not t.starts_with and not t.is_regex:
                 lev = auto_levenshtein(t.text, levenshtein_auto_limit)
             leaf = {"terms": [t.text], "levenshtein_distance": lev or 0}
             if t.starts_with:
                 leaf["starts_with"] = True
+            if t.is_regex:
+                leaf["is_regex"] = True
             if t.field is not None:
                 return {"search": {**leaf, "path": t.field}}
             fields = search_fields
@@ -269,7 +306,8 @@ def query_to_request(q: str, *, search_fields: list[str],
     pfields = phrase_fields if phrase_fields is not None else search_fields
     phrase_boosts = []
     for a, b in zip(terms, terms[1:]):
-        if a.field is None and b.field is None and not a.quoted and not b.quoted:
+        if (a.field is None and b.field is None and not a.quoted
+                and not b.quoted and not a.is_regex and not b.is_regex):
             for f in pfields:
                 phrase_boosts.append({
                     "path": f,

@@ -869,8 +869,19 @@ def _segment_kernel_factory(plan: dict, scored_leaf_ids: set):
 
 def search(index: FulltextIndex, request: dict) -> dict:
     """Evaluate a request and collect the reference-shaped result:
-    {"num_hits", "data": [{"doc_id","score"}...], "facets": {...}}."""
-    need_all = bool(request.get("facets"))
+    {"num_hits", "num_hits_exact", "data": [{"doc_id","score"}...],
+    "facets": {...}}.
+
+    ``num_hits``: the reference always reports the true total hit count.
+    Our per-segment top-k truncation makes that free only when the full hit
+    set is already materialized (facets / why_found / anchor boosts) — those
+    paths report the exact count. For plain top-k queries the default is the
+    cheap lower bound ``len(data)`` with ``num_hits_exact: False``; pass
+    ``"exact_count": True`` to force a full (untruncated) evaluation and get
+    the reference-exact total.
+    """
+    need_all = (bool(request.get("facets")) or bool(request.get("exact_count"))
+                or bool(request.get("why_found")) or bool(request.get("boost")))
     hits, _plan, leaves = _search_hits(index, request, need_all=need_all)
     hits = _apply_anchor_boosts(index, hits, request)
     top = request.get("top", 10)
@@ -881,10 +892,11 @@ def search(index: FulltextIndex, request: dict) -> dict:
         ranked = hits.orderBy(F.desc("score"), F.desc("doc_id")).limit(top + skip).collect()
     else:
         ranked = hits.orderBy(F.desc("score"), F.desc("doc_id")).limit(top + skip).collect()
-        num_hits = None  # only exact when need_all; avoid extra pass
+        num_hits = None  # lower bound only; exact needs emit_all
     ranked = ranked[skip:]
     out = {
         "num_hits": num_hits if num_hits is not None else len(ranked),
+        "num_hits_exact": num_hits is not None,
         "data": [{"doc_id": r["doc_id"], "score": float(np.float32(r["score"]))}
                  for r in ranked],
     }
@@ -901,6 +913,7 @@ def search(index: FulltextIndex, request: dict) -> dict:
             )
             facets[fld] = [(r[fld], r["count"]) for r in fc]
         out["facets"] = facets
+    if need_all:
         hits.unpersist()
     if request.get("select"):
         ids = [d["doc_id"] for d in out["data"]]
@@ -932,6 +945,13 @@ def search(index: FulltextIndex, request: dict) -> dict:
                 for l in leaves
             ],
         }
+    if request.get("explain_hits"):
+        # per-document score derivation (reference explain.rs steps)
+        from veloci_spark.explain import explain_hits as _explain_hits
+
+        eh = _explain_hits(index, request, [d["doc_id"] for d in out["data"]])
+        for d in out["data"]:
+            d["explain"] = eh.get(d["doc_id"], [])
     if request.get("snippets"):
         from veloci_spark.highlight import highlight_text
 
@@ -988,3 +1008,48 @@ def suggest(index: FulltextIndex, field: str, prefix: str, *, top: int = 10,
             .drop_duplicates("lower")
     best = best.sort_values(["score", "term_id"], ascending=[False, False], kind="mergesort")
     return [(r["lower"], float(np.float32(r["score"]))) for _, r in best.head(top).iterrows()]
+
+
+def suggest_multi(index: FulltextIndex, fields: list[str], prefix: str, *,
+                  top: int = 10, levenshtein: int = 0) -> list[tuple[str, float]]:
+    """Suggestions across several fields, merged by score
+    (/root/reference/src/search/search_field.rs:194-230 suggest_multi:
+    per-field dictionary matches, same lowercased text deduped keep-max,
+    global score-descending order)."""
+    frames = [match_terms(index, f, prefix, levenshtein=levenshtein,
+                          starts_with=True)
+              for f in fields]
+    frames = [f for f in frames if not f.empty]
+    if not frames:
+        return []
+    m = pd.concat(frames, ignore_index=True)
+    m = m.assign(lower=m["term"].str.lower())
+    best = m.sort_values(["score", "term_id"], ascending=[False, False],
+                         kind="mergesort").drop_duplicates("lower")
+    best = best.sort_values(["score", "term_id"], ascending=[False, False],
+                            kind="mergesort")
+    return [(r["lower"], float(np.float32(r["score"])))
+            for _, r in best.head(top).iterrows()]
+
+
+def read_data(index: FulltextIndex, doc_id: int,
+              fields: list[str] | None = None) -> dict | None:
+    """Reconstruct a document from the INDEX structures (not the raw source)
+    — the reference's ``/_idtree/<id>`` read-tree
+    (/root/reference/src/search/read_document.rs:8-59). For flat fields the
+    doc-store column is the value relation; nested ``a[].b`` paths resolve
+    through :mod:`veloci_spark.nested` value rows when the index was built
+    from a nested corpus (each path column holds the flattened values)."""
+    if fields is None:
+        fields = [f["name"] for f in index.manifest["fields"]]
+    row = get_doc(index, doc_id, [f for f in fields if f in index.docs.columns])
+    if row is None:
+        return None
+    out: dict = {}
+    for f in fields:
+        if f not in row:
+            continue
+        # re-nest flattened path names (a_b ← a.b) where the config recorded
+        # the original path with [] markers
+        out[f] = row[f]
+    return out

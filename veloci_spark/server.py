@@ -3,8 +3,10 @@ Rocket server (/root/reference/server/rocket_server.rs:197-235):
 
     POST /<db>/search        JSON request body (SURVEY.md §2.5 shape)
     GET  /<db>/search?query=...&top=10   query-string language
-    GET  /<db>/suggest?query=...&field=text
+    GET  /<db>/suggest?query=...&field=text          (or fields=a,b → multi)
     GET  /<db>/_id/<doc_id>
+    GET  /<db>/_idtree/<doc_id>   document reconstructed from the index
+                                  (reference rocket_server.rs:205)
 
 Stdlib-only (``http.server``); one Spark session serves all requests —
 Spark's FAIR scheduler can be enabled for concurrent queries. This is a
@@ -21,7 +23,8 @@ from urllib.parse import parse_qs, urlparse
 
 def make_handler(indices: dict):
     from veloci_spark.query import search_query
-    from veloci_spark.search import get_doc, search, suggest
+    from veloci_spark.search import (get_doc, read_data, search, suggest,
+                                     suggest_multi)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -73,9 +76,24 @@ def make_handler(indices: dict):
                     idx = self._index(parts[0])
                     if idx is None:
                         return
-                    out = suggest(idx, q.get("field", "text"), q["query"],
-                                  top=int(q.get("top", 10)))
+                    if "fields" in q:
+                        out = suggest_multi(idx, q["fields"].split(","),
+                                            q["query"], top=int(q.get("top", 10)))
+                    else:
+                        out = suggest(idx, q.get("field", "text"), q["query"],
+                                      top=int(q.get("top", 10)))
                     self._send(200, {"suggestions": out})
+                    return
+                if len(parts) == 3 and parts[1] == "_idtree":
+                    idx = self._index(parts[0])
+                    if idx is None:
+                        return
+                    doc = read_data(idx, int(parts[2]))
+                    if doc is None:
+                        self._send(404, {"error": "no such doc"})
+                    else:
+                        doc.pop("html", None)
+                        self._send(200, doc)
                     return
                 if len(parts) == 3 and parts[1] == "_id":
                     idx = self._index(parts[0])
