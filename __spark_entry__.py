@@ -102,6 +102,54 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+NESTED_GROUP = 10  # docs per synthetic parent for the nested-corpus entries
+
+
+def _nested_config() -> IndexConfig:
+    return IndexConfig(
+        fields=(FieldConfig("texts[]"),
+                FieldConfig("langs[]", tokenize=False, phrase_pairs=False)),
+        doc_id_col="doc_id",
+        segment_docs=64,
+    )
+
+
+def _nested_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic nested corpus derived from the documents table: parent
+    doc = 10 consecutive docs; texts[]/langs[] arrays ordered by member
+    doc_id (1:n value semantics, SURVEY.md B10)."""
+    docs = _documents(spark, sf_dir)
+    return (
+        docs.groupBy((F.col("doc_id") / NESTED_GROUP).cast("long").alias("doc_id"))
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "text", "lang")))
+             .alias("_m"))
+        .select(
+            "doc_id",
+            F.transform("_m", lambda m: m["text"]).alias("texts"),
+            F.transform("_m", lambda m: m["lang"]).alias("langs"))
+    )
+
+
+def _get_nested_index(spark: SparkSession, sf_dir: str):
+    from veloci_spark.build import build_index, index_fingerprint
+    from veloci_spark.search import FulltextIndex
+
+    data_fp = _data_fingerprint(f"{sf_dir}/documents.parquet")
+    cfg = _nested_config()
+    fp = index_fingerprint(cfg, data_fp + "|nested")
+    key = hashlib.md5(f"{sf_dir}|{fp}".encode()).hexdigest()[:10]
+    with _IDX_LOCK:
+        if key in _IDX_CACHE:
+            return _IDX_CACHE[key]
+        index_dir = f"/tmp/veloci_entry_nidx_{key}"
+        os.makedirs(index_dir, exist_ok=True)
+        build_index(spark, _nested_docs(spark, sf_dir), cfg, index_dir,
+                    input_fingerprint=data_fp + "|nested")
+        idx = FulltextIndex(spark, index_dir)
+        _IDX_CACHE[key] = idx
+        return idx
+
+
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -205,13 +253,16 @@ def _f64_scored_entries(spark, sf_dir) -> DataFrame:
         "s", score_f64("best_pos", "num_occurences", "n_tokens", "is_exact"))
 
 
-def _engine_hits_df(spark, sf_dir, request) -> DataFrame:
+def _engine_hits_df_for(idx, request) -> DataFrame:
     """All hit doc ids of a request through the real segment kernel."""
     from veloci_spark.search import _search_hits
 
-    idx = _get_index(spark, sf_dir)
     hits, _plan, _leaves = _search_hits(idx, request, need_all=True)
     return hits.select(F.col("doc_id").cast("long")).orderBy("doc_id")
+
+
+def _engine_hits_df(spark, sf_dir, request) -> DataFrame:
+    return _engine_hits_df_for(_get_index(spark, sf_dir), request)
 
 
 # ---------------------------------------------------------------------------
@@ -332,6 +383,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("term")
         )
 
+    def ft_nested_search_ids(spark, sf_dir):
+        # B10/Q8: term search over a 1:n value field → anchor (parent) ids
+        idx = _get_nested_index(spark, sf_dir)
+        return _engine_hits_df_for(idx, {
+            "search": {"terms": ["spark"], "path": "texts[]"}})
+
+    def ft_nested_facet_lang(spark, sf_dir):
+        # Q17 on a 1:n facet field: VALUE counts over the hit parents
+        # (facet.rs:75-94 — one count per value row, not per distinct value)
+        idx = _get_nested_index(spark, sf_dir)
+        hits = _engine_hits_df_for(idx, {
+            "search": {"terms": ["spark"], "path": "texts[]"}})
+        return (
+            hits.join(idx.values["langs[]"].select("doc_id", "value"), "doc_id")
+            .groupBy("value").agg(F.count("*").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("value"))
+            .withColumnRenamed("value", "lang")
+        )
+
+    def ft_nested_tokentexts(spark, sf_dir):
+        # Q7: token → (anchor, value-pos) resolution for one term
+        idx = _get_nested_index(spark, sf_dir)
+        tid = (idx.dict_df
+               .where((F.col("field") == "texts[]") & (F.col("term") == "query"))
+               .select("term_id").first())
+        if tid is None:
+            return spark.createDataFrame([], "doc_id long, pos long")
+        return (
+            idx.tokentexts
+            .where((F.col("field") == "texts[]") & (F.col("term_id") == tid[0]))
+            .select(F.col("doc_id").cast("long"), F.col("pos").cast("long"))
+            .distinct().orderBy("doc_id", "pos")
+        )
+
     def dd_exact_groups(spark, sf_dir):
         return dd.exact_duplicates(_documents(spark, sf_dir)).select(
             F.col("canonical_id").cast("long"), F.col("doc_id").cast("long"))
@@ -431,6 +516,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_docs": ft_phrase_docs,
         "ft_facet_lang": ft_facet_lang,
         "ft_dict_prefix": ft_dict_prefix,
+        "ft_nested_search_ids": ft_nested_search_ids,
+        "ft_nested_facet_lang": ft_nested_facet_lang,
+        "ft_nested_tokentexts": ft_nested_tokentexts,
         "dd_exact_groups": dd_exact_groups,
         "dd_distinct_keep": dd_distinct_keep,
         "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -533,6 +621,45 @@ GROUP BY d.lang ORDER BY cnt DESC, lang ASC
 WITH {runs}, {occ}
 SELECT term, num_occurences FROM occ
 WHERE term LIKE 'sc%' ORDER BY term
+"""
+
+    # nested corpus twin: parent = doc_id // 10, member pos = doc_id % 10
+    # (doc ids are contiguous), values ordered by member id — identical
+    # derivation to _nested_docs
+    sql["ft_nested_search_ids"] = f"""
+WITH {runs}
+SELECT DISTINCT doc_id FROM (
+  SELECT doc_id // {NESTED_GROUP} AS doc_id FROM runs WHERE tok = 'spark'
+  UNION ALL
+  SELECT doc_id // {NESTED_GROUP} FROM documents
+  WHERE octet_length(encode(text)) <= 64 AND lower(text) = 'spark'
+) ORDER BY doc_id
+"""
+
+    sql["ft_nested_facet_lang"] = f"""
+WITH {runs},
+hits AS (
+  SELECT DISTINCT parent FROM (
+    SELECT doc_id // {NESTED_GROUP} AS parent FROM runs WHERE tok = 'spark'
+    UNION ALL
+    SELECT doc_id // {NESTED_GROUP} FROM documents
+    WHERE octet_length(encode(text)) <= 64 AND lower(text) = 'spark'
+  )
+)
+SELECT d.lang, COUNT(*)::BIGINT AS cnt
+FROM documents d JOIN hits h ON d.doc_id // {NESTED_GROUP} = h.parent
+GROUP BY d.lang ORDER BY cnt DESC, lang ASC
+"""
+
+    sql["ft_nested_tokentexts"] = f"""
+WITH {runs}
+SELECT DISTINCT doc_id, pos FROM (
+  SELECT doc_id // {NESTED_GROUP} AS doc_id, doc_id % {NESTED_GROUP} AS pos
+  FROM runs WHERE tok = 'query'
+  UNION ALL
+  SELECT doc_id // {NESTED_GROUP}, doc_id % {NESTED_GROUP} FROM documents
+  WHERE octet_length(encode(text)) <= 64 AND text = 'query'
+) ORDER BY doc_id, pos
 """
 
     sql["dd_exact_groups"] = """

@@ -75,7 +75,9 @@ from veloci_spark.vbyte import delta_encode, vbyte_encode
 #   v1: round-1 layout (absolute doc ids in postings, grouped phrase arrays)
 #   v2: segment-relative doc ids in docs_bin; flat phrase rows; fingerprinted
 #       stage markers
-LAYOUT_VERSION = 2
+#   v3: nested 1:n fields — values/ + tokentexts/ relations, pos column in
+#       the token entry schema, per-value max-dedup in the pack kernel
+LAYOUT_VERSION = 3
 
 # ---------------------------------------------------------------------------
 # stage bookkeeping
@@ -266,6 +268,65 @@ _ENTRY_SCHEMA = T.StructType([
     T.StructField("cnt", T.IntegerType()),
 ])
 
+_VALUE_ENTRY_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("pos", T.IntegerType()),
+    T.StructField("token", T.StringType()),
+    T.StructField("best_pos", T.IntegerType()),
+    T.StructField("n_tokens", T.IntegerType()),
+    T.StructField("cnt", T.IntegerType()),
+])
+
+
+def value_token_entry_rows(values: DataFrame, separators: str) -> DataFrame:
+    """Per-(value, token) aggregated entries over a (doc_id, pos, value)
+    relation — the nested-field twin of :func:`token_entry_rows`: n_tokens
+    and best_pos are PER VALUE (the reference scores each 1:n value as its
+    own text, create.rs:225-280), and the (doc_id, pos) pair rides along as
+    the value's text identity."""
+    pattern = _runs_re(separators).pattern
+
+    def entries(iterator):
+        import re as _re
+
+        rx = _re.compile(pattern)
+        for pdf in iterator:
+            ids_out, pos_out, tok_out, bp_out, ntok_out, cnt_out = [], [], [], [], [], []
+            for doc_id, vpos, text in zip(pdf["doc_id"].values, pdf["pos"].values,
+                                          pdf["value"].values):
+                if not text:
+                    continue
+                runs = rx.findall(text)
+                n = len(runs)
+                if n < 2:
+                    continue
+                best: dict[str, int] = {}
+                cnt: dict[str, int] = {}
+                for p, tok in enumerate(runs):
+                    if tok not in best:
+                        best[tok] = p
+                        cnt[tok] = 1
+                    else:
+                        cnt[tok] += 1
+                k = len(best)
+                ids_out.extend([doc_id] * k)
+                pos_out.extend([vpos] * k)
+                tok_out.extend(best.keys())
+                bp_out.extend(best.values())
+                ntok_out.extend([n] * k)
+                cnt_out.extend(cnt.values())
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids_out, dtype="int64"),
+                "pos": pd.Series(pos_out, dtype="int32"),
+                "token": pd.Series(tok_out, dtype="object"),
+                "best_pos": pd.Series(bp_out, dtype="int32"),
+                "n_tokens": pd.Series(ntok_out, dtype="int32"),
+                "cnt": pd.Series(cnt_out, dtype="int32"),
+            })
+
+    return values.select("doc_id", "pos", "value").mapInPandas(
+        entries, schema=_VALUE_ENTRY_SCHEMA)
+
 
 def token_entry_rows(docs: DataFrame, field: str, separators: str) -> DataFrame:
     """Per-(doc, token) aggregated token entries in ONE pass:
@@ -366,6 +427,48 @@ def pair_rows(docs: DataFrame, field: str, separators: str) -> DataFrame:
     return docs.select("doc_id", field).mapInPandas(pairs, schema=_PAIR_SCHEMA)
 
 
+def value_pair_rows(values: DataFrame, separators: str) -> DataFrame:
+    """Adjacent-pair rows over a (doc_id, pos, value) relation: pairs are
+    formed WITHIN each value (never across sibling values — the reference's
+    token stream resets per text), deduped per doc."""
+    pattern = _runs_re(separators).pattern
+
+    def pairs(iterator):
+        import re as _re
+
+        rx = _re.compile(pattern)
+        seps = _sep_set(separators)
+        for pdf in iterator:
+            ids_out, a_out, b_out = [], [], []
+            # values of a doc may span batches only if the upstream exploded
+            # rows were split — dedup per (doc, pair) within batch; the
+            # query-time grouping dedups the remainder
+            for doc_id, text in zip(pdf["doc_id"].values, pdf["value"].values):
+                if not text:
+                    continue
+                runs = rx.findall(text)
+                if len(runs) < 2:
+                    continue
+                seen = set()
+                prev = None
+                for tok in runs:
+                    if tok[0] in seps:
+                        continue
+                    if prev is not None and (prev, tok) not in seen:
+                        seen.add((prev, tok))
+                        ids_out.append(doc_id)
+                        a_out.append(prev)
+                        b_out.append(tok)
+                    prev = tok
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids_out, dtype="int64"),
+                "tok_a": pd.Series(a_out, dtype="object"),
+                "tok_b": pd.Series(b_out, dtype="object"),
+            })
+
+    return values.select("doc_id", "value").mapInPandas(pairs, schema=_PAIR_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # helpers: global rank per field (term ids)
 
@@ -433,7 +536,8 @@ _POSTING_SCHEMA = T.StructType([
 ])
 
 
-def _pack_partition_factory(index_dir: str, block_docs: int, segment_docs: int):
+def _pack_partition_factory(index_dir: str, block_docs: int, segment_docs: int,
+                            nested_fields: frozenset = frozenset()):
     def pack(iterator):
         from pyspark import TaskContext
 
@@ -444,12 +548,13 @@ def _pack_partition_factory(index_dir: str, block_docs: int, segment_docs: int):
         for pdf in iterator:
             if pdf.empty:
                 continue
-            # rows arrive sorted by (field, term_id, segment, doc_id);
+            # rows arrive sorted by (field, term_id, segment, doc_id, pos);
             # group consecutive runs vectorized
             fields = pdf["field"].values
             tids = pdf["term_id"].values
             segs = pdf["segment"].values
             docs = pdf["doc_id"].values.astype(np.int64)
+            poss = pdf["pos"].values.astype(np.int64)
             scores = pdf["score"].values.astype(np.uint64)
             n = len(pdf)
             change = np.empty(n, dtype=bool)
@@ -462,7 +567,22 @@ def _pack_partition_factory(index_dir: str, block_docs: int, segment_docs: int):
             for s, e in zip(starts, ends):
                 d = docs[s:e]
                 sc = scores[s:e]
-                if e - s > 1 and (d[1:] == d[:-1]).any():
+                if fields[s] in nested_fields and e - s > 1:
+                    # 1:n field: each value is its own text. Duplicate
+                    # (term, doc, pos) entries (exact-text + token of the
+                    # same value string) SUM; the anchor (doc) score is the
+                    # MAX over its values — the reference token→anchor
+                    # max-dedup (search_field.rs:449-463) precomputed at
+                    # build time (scores are static).
+                    p = poss[s:e]
+                    vstart = np.flatnonzero(np.concatenate(
+                        ([True], (d[1:] != d[:-1]) | (p[1:] != p[:-1]))))
+                    dv = d[vstart]
+                    sv = np.add.reduceat(sc, vstart)
+                    dstart = np.flatnonzero(np.concatenate(([True], dv[1:] != dv[:-1])))
+                    d = dv[dstart]
+                    sc = np.maximum.reduceat(sv, dstart)
+                elif e - s > 1 and (d[1:] == d[:-1]).any():
                     # duplicate (term, doc) entries (exact-text + token of the
                     # same string): scores are SUMMED (create.rs:388-413).
                     # Rows arrive doc-sorted, so duplicates are adjacent —
@@ -545,18 +665,43 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
     docs = spark.read.parquet(docs_path)
     n_docs = docs.count()
 
+    # ---- stage: values (1:n field value relations) -----------------------
+    # each nested path gets a (doc_id, pos, value) relation — the reference's
+    # json_converter value-id tables re-expressed as plain parquet; (doc_id,
+    # pos) is the per-value text identity used by locality/facets/read-tree
+    from veloci_spark.nested import safe_path_name, value_rows
+
+    nested_fields = [fc for fc in config.fields if fc.is_nested]
+    nested_names = frozenset(fc.name for fc in nested_fields)
+    values_root = os.path.join(index_dir, "values")
+    if nested_fields and not _stage_done(index_dir, "values", fp):
+        t0 = time.time()
+        for fc in nested_fields:
+            value_rows(docs, fc.name).write.mode("overwrite").parquet(
+                os.path.join(values_root, safe_path_name(fc.name)))
+        _mark_stage(index_dir, "values", fp, wall_sec=time.time() - t0)
+
+    def field_values(fc) -> DataFrame:
+        return spark.read.parquet(os.path.join(values_root, safe_path_name(fc.name)))
+
     # ---- stage: tokens ---------------------------------------------------
     # one tokenize pass emitting per-(doc, token) aggregated entries
     # (doc-local grouping inside the kernel — no shuffle of raw occurrences);
-    # materialized once, reused by the dict and postings stages
+    # materialized once, reused by the dict and postings stages. Flat fields
+    # carry pos = 0 (the doc's single text); nested fields one pos per value.
     tokens_path = os.path.join(index_dir, "_tokens")
     tokenized_fields = [fc for fc in config.fields if fc.tokenize]
     if not _stage_done(index_dir, "tokens", fp):
         t0 = time.time()
         parts = []
         for fc in tokenized_fields:
-            parts.append(token_entry_rows(docs, fc.name, fc.separators)
-                         .withColumn("field", F.lit(fc.name)))
+            if fc.is_nested:
+                parts.append(value_token_entry_rows(field_values(fc), fc.separators)
+                             .withColumn("field", F.lit(fc.name)))
+            else:
+                parts.append(token_entry_rows(docs, fc.name, fc.separators)
+                             .withColumn("pos", F.lit(0))
+                             .withColumn("field", F.lit(fc.name)))
         if parts:
             all_tokens = parts[0]
             for p in parts[1:]:
@@ -568,7 +713,7 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
                 .write.mode("overwrite").parquet(tokens_path)
         else:
             spark.createDataFrame([], schema=T.StructType(
-                _ENTRY_SCHEMA.fields + [T.StructField("field", T.StringType())]
+                _VALUE_ENTRY_SCHEMA.fields + [T.StructField("field", T.StringType())]
             )).write.mode("overwrite").parquet(tokens_path)
         dt = time.time() - t0
         _write_checkpoint(index_dir, "tokenize", 0, {
@@ -584,10 +729,18 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
     dict_fields = [fc for fc in config.fields if not fc.identity]
 
     def storable_texts(fc):
+        if fc.is_nested:
+            return (
+                field_values(fc)
+                .select("doc_id", "pos", F.col("value").alias("term"))
+                .where(F.octet_length("term") <= fc.max_text_store_bytes)
+                .withColumn("field", F.lit(fc.name))
+            )
         return (
-            docs.select("doc_id", F.col(fc.name).alias("term"))
+            docs.select("doc_id", F.col(fc.name).cast("string").alias("term"))
             .where(F.col("term").isNotNull())
             .where(F.octet_length("term") <= fc.max_text_store_bytes)
+            .withColumn("pos", F.lit(0))
             .withColumn("field", F.lit(fc.name))
         )
 
@@ -633,16 +786,16 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
                                 is_exact.values)
             return pd.Series(s.astype(np.int64))
 
-        # token entries are already per-(doc, token) aggregated in the
+        # token entries are already per-(value, token) aggregated in the
         # tokenize kernel (best/first position per token)
         token_entries = (
-            tokens.select("field", "doc_id", F.col("token").alias("term"),
+            tokens.select("field", "doc_id", "pos", F.col("token").alias("term"),
                           "best_pos", "n_tokens")
             .withColumn("is_exact", F.lit(False))
         )
         text_entries_parts = [
             storable_texts(fc).select(
-                "field", "doc_id", "term",
+                "field", "doc_id", "pos", "term",
                 F.lit(0).alias("best_pos"), F.lit(1).alias("n_tokens"),
                 F.lit(True).alias("is_exact"),
             )
@@ -670,9 +823,9 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
         # arrive adjacent), replacing a corpus-wide groupBy aggregation.
         packed = (
             scored.repartition(num_partitions, "field", "term_id", "segment")
-            .sortWithinPartitions("field", "term_id", "segment", "doc_id")
+            .sortWithinPartitions("field", "term_id", "segment", "doc_id", "pos")
             .mapInPandas(_pack_partition_factory(index_dir, config.posting_block_docs,
-                                                 segment_docs),
+                                                 segment_docs, nested_names),
                          schema=_POSTING_SCHEMA)
         )
         # co-locate each segment's rows before the partitioned write: without
@@ -681,6 +834,39 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
         packed.repartition("segment") \
             .write.mode("overwrite").partitionBy("segment").parquet(postings_path)
         _mark_stage(index_dir, "postings", fp, wall_sec=time.time() - t0)
+
+    # ---- stage: tokentexts (nested term → value relation) ----------------
+    # (field, term_id, segment, doc_id, pos): which VALUE of which doc a
+    # term occurs in — the reference's token→text-id tables. Powers
+    # per-value locality boosts, nested why-found, and value-level facet
+    # resolution. Flat fields need none (postings are already doc≡text).
+    tokentexts_path = os.path.join(index_dir, "tokentexts")
+    if nested_fields and not _stage_done(index_dir, "tokentexts", fp):
+        t0 = time.time()
+        nested_tok = (
+            tokens.where(F.col("field").isin(list(nested_names)))
+            .select("field", F.col("token").alias("term"), "doc_id", "pos")
+        )
+        tt = nested_tok
+        for fc in dict_fields:
+            if fc.is_nested:
+                tt = tt.unionByName(
+                    storable_texts(fc).select("field", "term", "doc_id", "pos"))
+        tt_dict = term_dict.select("field", "term", "term_id")
+        if term_dict.count() <= 2_000_000:
+            tt_dict = F.broadcast(tt_dict)
+        (
+            tt.join(tt_dict, on=["field", "term"])
+            .select("field", "term_id",
+                    (F.col("doc_id") / F.lit(segment_docs)).cast("int").alias("segment"),
+                    "doc_id", "pos")
+            # sorted by (field, term_id): parquet row-group stats prune
+            # term lookups exactly like the phrase table
+            .repartition(num_partitions, "field", "term_id")
+            .sortWithinPartitions("field", "term_id", "doc_id", "pos")
+            .write.mode("overwrite").parquet(tokentexts_path)
+        )
+        _mark_stage(index_dir, "tokentexts", fp, wall_sec=time.time() - t0)
 
     # ---- stage: phrase pairs --------------------------------------------
     phrase_path = os.path.join(index_dir, "phrase")
@@ -691,8 +877,12 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
             parts = []
             for fc in config.fields:
                 if fc.name in phrase_fields:
-                    parts.append(pair_rows(docs, fc.name, fc.separators)
-                                 .withColumn("field", F.lit(fc.name)))
+                    if fc.is_nested:
+                        parts.append(value_pair_rows(field_values(fc), fc.separators)
+                                     .withColumn("field", F.lit(fc.name)))
+                    else:
+                        parts.append(pair_rows(docs, fc.name, fc.separators)
+                                     .withColumn("field", F.lit(fc.name)))
             pairs_raw = parts[0]
             for p in parts[1:]:
                 pairs_raw = pairs_raw.unionByName(p)
@@ -728,7 +918,8 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
         "fields": [
             {"name": fc.name, "tokenize": fc.tokenize, "separators": fc.separators,
              "max_text_store_bytes": fc.max_text_store_bytes,
-             "phrase_pairs": fc.phrase_pairs, "identity": fc.identity}
+             "phrase_pairs": fc.phrase_pairs, "identity": fc.identity,
+             "is_nested": fc.is_nested}
             for fc in config.fields
         ],
         "build_wall_sec": time.time() - t_start,

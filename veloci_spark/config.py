@@ -42,6 +42,13 @@ class FieldConfig:
     # (num_occurences = 1 by uniqueness).
     identity: bool = False
 
+    @property
+    def is_nested(self) -> bool:
+        """Path with a 1:n segment (``meanings.eng[]``, ``tags[]``): indexed
+        per VALUE with (doc_id, pos) text identity — the reference's
+        json_converter value ids (SURVEY.md B10/Q7/Q8)."""
+        return "[]" in self.name or "." in self.name
+
 
 @dataclass(frozen=True)
 class IndexConfig:

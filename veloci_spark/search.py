@@ -81,6 +81,18 @@ class FulltextIndex:
         self.phrase = spark.read.parquet(f"{index_dir}/phrase")
         self.docs = spark.read.parquet(f"{index_dir}/docs")
         self.fields = {f["name"]: f for f in self.manifest["fields"]}
+        # nested (1:n) fields: per-value relations + term→value index
+        from veloci_spark.nested import safe_path_name
+
+        self.values: dict[str, DataFrame] = {}
+        for f in self.manifest["fields"]:
+            if f.get("is_nested"):
+                self.values[f["name"]] = spark.read.parquet(
+                    f"{index_dir}/values/{safe_path_name(f['name'])}")
+        self.tokentexts = (
+            spark.read.parquet(f"{index_dir}/tokentexts")
+            if self.values else None
+        )
         self._local_dict_max_terms = local_dict_max_terms
         self._local_dict: dict[str, pd.DataFrame] | None = None
 
@@ -615,10 +627,104 @@ def _apply_anchor_boosts(index: FulltextIndex, hits: DataFrame,
     return hits
 
 
+def _apply_post_locality(index: FulltextIndex, hits: DataFrame,
+                         leaves, scored_ids: set) -> DataFrame:
+    """Text-locality boost with per-VALUE grouping (nested fields involved).
+
+    Reference semantics (boost.rs:11-87 + 10-32): per field path, texts hit
+    by n ≥ 2 distinct query terms yield factor 2n²; an anchor's boost is the
+    MAX factor over all its qualifying texts across paths, applied once.
+    Implemented as DataFrame joins: tokentexts rows (nested: term → (doc,
+    pos)) ∪ decoded posting docs (flat: text ≡ doc) → per-group distinct-tag
+    counts → per-doc max — fully distributed, no driver loop.
+    """
+    spark = index.spark
+    segment_docs = int(index.manifest["segment_docs"])
+    group_parts = []  # DataFrames of (field, doc_id, pos, tag)
+    for leaf in leaves:
+        if leaf.leaf_id not in scored_ids:
+            continue
+        fc = index.fields.get(leaf.field, {})
+        if leaf.matched is None:
+            # identity column: text ids ARE anchor ids (boost.rs:61-74) —
+            # the doc-store match gives (doc, pos=0)
+            irows = _identity_leaf_rows(index, leaf)
+            group_parts.append(
+                irows.select(F.explode("doc_ids").alias("doc_id"))
+                .withColumn("field", F.lit(leaf.field))
+                .withColumn("pos", F.lit(0))
+                .withColumn("tag", F.lit(leaf.tag)))
+            continue
+        tids = [int(t) for t in leaf.matched["term_id"]]
+        if not tids:
+            continue
+        if fc.get("is_nested"):
+            group_parts.append(
+                index.tokentexts
+                .where((F.col("field") == leaf.field) & F.col("term_id").isin(tids))
+                .select("field", "doc_id", "pos")
+                .withColumn("tag", F.lit(leaf.tag)))
+        else:
+            rows = (
+                index.postings
+                .where((F.col("field") == leaf.field) & F.col("term_id").isin(tids))
+                .select("segment", "docs_bin")
+            )
+
+            def decode(iterator, _tag=leaf.tag, _field=leaf.field):
+                from veloci_spark.vbyte import vbyte_decode, delta_decode
+
+                for pdf in iterator:
+                    outs = []
+                    for seg, b in zip(pdf["segment"].values, pdf["docs_bin"].values):
+                        ids = delta_decode(vbyte_decode(b)).astype(np.int64) \
+                            + int(seg) * segment_docs
+                        outs.append(pd.DataFrame({
+                            "field": _field, "doc_id": ids,
+                            "pos": np.zeros(len(ids), dtype=np.int32),
+                            "tag": _tag}))
+                    yield pd.concat(outs) if outs else pd.DataFrame(
+                        {"field": [], "doc_id": [], "pos": [], "tag": []})
+
+            group_parts.append(rows.mapInPandas(
+                decode, schema="field string, doc_id long, pos int, tag string"))
+    if not group_parts:
+        return hits
+    groups = group_parts[0]
+    for p in group_parts[1:]:
+        groups = groups.unionByName(p)
+    factors = (
+        groups.groupBy("field", "doc_id", "pos")
+        .agg(F.countDistinct("tag").alias("n"))
+        .where(F.col("n") >= 2)
+        .groupBy("doc_id").agg(F.max("n").alias("n"))
+    )
+
+    @F.pandas_udf("float")
+    def boosted(score: pd.Series, n: pd.Series) -> pd.Series:
+        s = score.values.astype(_F32)
+        nn = n.values
+        valid = ~pd.isna(nn)
+        nf = np.where(valid, nn, 0).astype(_F32)
+        # kernel rounding order: factor = (2·n)·n, then one multiply
+        f = ((_F32(2.0) * nf) * nf).astype(_F32)
+        out = np.where(valid, (s * f).astype(_F32), s)
+        return pd.Series(out.astype(np.float32))
+
+    return (
+        hits.join(factors, on="doc_id", how="left")
+        .withColumn("score", boosted(F.col("score"), F.col("n")))
+        .drop("n")
+    )
+
+
 def search_df(index: FulltextIndex, request: dict) -> DataFrame:
     """Evaluate a request; returns ranked DataFrame (doc_id, score) — already
     sorted (score DESC, doc_id DESC) with top/skip applied."""
     hits, _plan, _leaves = _search_hits(index, request, need_all=False)
+    if _plan.get("post_locality"):
+        hits = _apply_post_locality(index, hits, _leaves,
+                                    _plan["scored_leaf_ids"])
     hits = _apply_anchor_boosts(index, hits, request)
     top = request.get("top", 10)
     skip = request.get("skip", 0)
@@ -636,10 +742,18 @@ def _search_hits(index: FulltextIndex, request: dict, need_all: bool):
 
     top = request.get("top", 10)
     skip = request.get("skip", 0)
+    # text locality over any NESTED leaf needs per-VALUE grouping, which the
+    # segment kernel cannot see (postings are doc-level) → move the whole
+    # locality boost post-kernel (reference boost_text_locality_all merges
+    # per-path text groups and takes the max factor per anchor)
+    post_locality = bool(request.get("text_locality")) and any(
+        index.fields.get(l.field, {}).get("is_nested")
+        for l in leaves if l.leaf_id in scored_ids)
     # anchor boosts (Q13) reorder scores post-kernel → per-segment top-k
     # truncation would be unsound; emit full hit sets in that case
     emit_all = (need_all or bool(request.get("facets"))
-                or bool(request.get("why_found")) or bool(request.get("boost")))
+                or bool(request.get("why_found")) or bool(request.get("boost"))
+                or post_locality)
 
     # kernel input: postings rows for matched terms, tagged with leaf_id
     matched_rows = []  # (field, term_id, leaf_id, term_score)
@@ -656,7 +770,9 @@ def _search_hits(index: FulltextIndex, request: dict, need_all: bool):
         "filter": filter_tree,
         "phrase_leaves": [],
         "term_boost_leaves": term_boost_leaves,
-        "locality": bool(request.get("text_locality")),
+        "locality": bool(request.get("text_locality")) and not post_locality,
+        "post_locality": post_locality,
+        "scored_leaf_ids": set(scored_ids),
         "locality_leaves": [(l.leaf_id, l.tag) for l in leaves
                             if l.leaf_id in scored_ids],
         "top": None if emit_all else top + skip,
@@ -883,6 +999,10 @@ def search(index: FulltextIndex, request: dict) -> dict:
     need_all = (bool(request.get("facets")) or bool(request.get("exact_count"))
                 or bool(request.get("why_found")) or bool(request.get("boost")))
     hits, _plan, leaves = _search_hits(index, request, need_all=need_all)
+    if _plan.get("post_locality"):
+        hits = _apply_post_locality(index, hits, leaves,
+                                    _plan["scored_leaf_ids"])
+        need_all = True  # full hit set already materialized by the kernel
     hits = _apply_anchor_boosts(index, hits, request)
     top = request.get("top", 10)
     skip = request.get("skip", 0)
@@ -905,21 +1025,48 @@ def search(index: FulltextIndex, request: dict) -> dict:
         for spec in request["facets"]:
             fld = spec["field"]
             ftop = spec.get("top", 10)
-            fc = (
-                hits.join(index.docs.select("doc_id", fld), on="doc_id")
-                .groupBy(fld).count()
-                .orderBy(F.desc("count"), F.asc(fld))
-                .limit(ftop).collect()
-            )
-            facets[fld] = [(r[fld], r["count"]) for r in fc]
+            if fld in index.values:
+                # 1:n facet (reference facet.rs:75-94): count VALUES of the
+                # hit docs — one value row per (doc, pos)
+                fc = (
+                    hits.join(index.values[fld].select("doc_id", "value"),
+                              on="doc_id")
+                    .groupBy("value").count()
+                    .orderBy(F.desc("count"), F.asc("value"))
+                    .limit(ftop).collect()
+                )
+                facets[fld] = [(r["value"], r["count"]) for r in fc]
+            else:
+                fc = (
+                    hits.join(index.docs.select("doc_id", fld), on="doc_id")
+                    .groupBy(fld).count()
+                    .orderBy(F.desc("count"), F.asc(fld))
+                    .limit(ftop).collect()
+                )
+                facets[fld] = [(r[fld], r["count"]) for r in fc]
         out["facets"] = facets
     if need_all:
         hits.unpersist()
     if request.get("select"):
         ids = [d["doc_id"] for d in out["data"]]
         cols = request["select"]
-        rows = index.docs.where(F.col("doc_id").isin(ids)).select("doc_id", *cols).collect()
-        by_id = {r["doc_id"]: {c: r[c] for c in cols} for r in rows}
+        flat_cols = [c for c in cols if c not in index.values]
+        nested_cols = [c for c in cols if c in index.values]
+        by_id: dict[int, dict] = {int(i): {} for i in ids}
+        if flat_cols:
+            rows = index.docs.where(F.col("doc_id").isin(ids)) \
+                .select("doc_id", *flat_cols).collect()
+            for r in rows:
+                by_id[r["doc_id"]].update({c: r[c] for c in flat_cols})
+        for c in nested_cols:
+            # 1:n select: value array reconstructed in pos order (the
+            # reference read-tree, read_document.rs:8-59)
+            vrows = (
+                index.values[c].where(F.col("doc_id").isin(ids))
+                .orderBy("doc_id", "pos").collect()
+            )
+            for r in vrows:
+                by_id[r["doc_id"]].setdefault(c, []).append(r["value"])
         for d in out["data"]:
             d["doc"] = by_id.get(d["doc_id"], {})
     if request.get("why_found"):
@@ -1042,14 +1189,17 @@ def read_data(index: FulltextIndex, doc_id: int,
     from a nested corpus (each path column holds the flattened values)."""
     if fields is None:
         fields = [f["name"] for f in index.manifest["fields"]]
-    row = get_doc(index, doc_id, [f for f in fields if f in index.docs.columns])
-    if row is None:
-        return None
-    out: dict = {}
+    flat = [f for f in fields if f not in index.values and f in index.docs.columns]
+    row = get_doc(index, doc_id, flat) if flat else {"doc_id": doc_id}
+    out: dict = dict(row) if row else {}
     for f in fields:
-        if f not in row:
-            continue
-        # re-nest flattened path names (a_b ← a.b) where the config recorded
-        # the original path with [] markers
-        out[f] = row[f]
+        if f in index.values:
+            vrows = (
+                index.values[f].where(F.col("doc_id") == int(doc_id))
+                .orderBy("pos").collect()
+            )
+            if vrows:
+                out[f] = [r["value"] for r in vrows]
+    if len(out) <= 1 and row is None:
+        return None
     return out
