@@ -41,6 +41,10 @@ def make_spark(cpus: int):
     os.environ.setdefault(
         "GLIBC_TUNABLES",
         "glibc.malloc.mmap_threshold=1073741824:glibc.malloc.trim_threshold=1073741824")
+    # route pyarrow allocations through glibc malloc so the tunables above
+    # govern the python workers' Arrow buffers too (default jemalloc pool
+    # returns pages to the kernel on its own schedule)
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     from pyspark.sql import SparkSession
 
     # shuffle/spill scratch on the RAM-backed tmpfs: the sandbox's virtual
@@ -218,13 +222,15 @@ def main_scaling():
         best = None
         for _trial in range(trials):
             code = (
-                "import bench, json, shutil, os;"
+                "import bench, json, shutil, os, glob;"
                 f"spark = bench.make_spark({cpus});"
                 "spark.sparkContext.setLogLevel('ERROR');"
                 f"d = '/dev/shm/veloci_scale_idx_{os.getpid()}_{cpus}';"
                 "shutil.rmtree(d, ignore_errors=True);"
                 f"n, dt = bench.run_build_synth(spark, {corpus!r}, d);"
-                f"print('RESULT ' + json.dumps({{'cpus': {cpus}, 'n_docs': n, 'sec': dt}}));"
+                "stages = {json.load(open(m))['stage']: round(json.load(open(m)).get('wall_sec', 0), 1)"
+                " for m in glob.glob(d + '/_stage_*.done')};"
+                f"print('RESULT ' + json.dumps({{'cpus': {cpus}, 'n_docs': n, 'sec': dt, 'stages': stages}}));"
                 "spark.stop(); shutil.rmtree(d, ignore_errors=True);"
                 "shutil.rmtree(f'/dev/shm/spark_local_{os.getpid()}', ignore_errors=True)"
             )
@@ -253,9 +259,11 @@ def main_scaling():
         "n_docs": results[base_n]["n_docs"],
         "pinned": pin,
         f"local{base_n}": {"sec": round(results[base_n]["sec"], 2),
-                           "docs_per_sec": round(t_n, 1)},
+                           "docs_per_sec": round(t_n, 1),
+                           "stages": results[base_n].get("stages")},
         f"local{base_n * 4}": {"sec": round(results[base_n * 4]["sec"], 2),
-                               "docs_per_sec": round(t_4n, 1)},
+                               "docs_per_sec": round(t_4n, 1),
+                               "stages": results[base_n * 4].get("stages")},
         "scaling_efficiency": round(eff, 3),
     }))
 
