@@ -356,3 +356,58 @@ class TestExplainHits:
             assert steps, d
             assert np.float32(steps[-1]["score"]) == np.float32(d["score"]), (
                 d["doc_id"], steps)
+
+
+class TestGeneratorOptions:
+    """Reference SearchQueryGeneratorParameters: boost_fields, boost_terms,
+    filter (query_generator.rs:85-132, 204-210, 225-233)."""
+
+    def test_boost_fields(self):
+        from veloci_spark.query import query_to_request
+
+        req = query_to_request("urge", search_fields=["text", "url"],
+                              remove_stopwords=False,
+                              boost_fields={"text": 2.0})
+        legs = req["search_req"]["or"]
+        by_path = {l["search"]["path"]: l["search"] for l in legs}
+        assert by_path["text"]["boost"] == 2.0
+        assert "boost" not in by_path["url"]
+
+    def test_boost_terms(self):
+        from veloci_spark.query import query_to_request
+
+        req = query_to_request("urge", search_fields=["text"],
+                              remove_stopwords=False,
+                              boost_terms={"testo": 5.0, "lang:en": 1.5})
+        bt = req["boost_term"]
+        assert {"path": "text", "terms": ["testo"], "boost": 5.0} in bt
+        assert {"path": "lang", "terms": ["en"], "boost": 1.5} in bt
+
+    def test_filter_query(self):
+        from veloci_spark.query import query_to_request
+
+        req = query_to_request("urge", search_fields=["text"],
+                              remove_stopwords=False,
+                              filter_query="lang:de")
+        assert req["filter"] == {
+            "search": {"terms": ["de"], "levenshtein_distance": 0,
+                       "path": "lang"}}
+
+    def test_filter_query_end_to_end(self, spark_index, ref_index):
+        from veloci_spark import pyref
+        from veloci_spark.query import query_to_request
+        from veloci_spark.search import search
+
+        req = query_to_request("greg text", search_fields=["text"],
+                              remove_stopwords=False, filter_query="lang:de",
+                              top=20)
+        req.pop("phrase_boosts", None)
+        got = search(spark_index, req)
+        want = pyref.search_request(ref_index, {
+            "or": [{"search": {"terms": ["greg"], "path": "text",
+                               "levenshtein_distance": 1}},
+                   {"search": {"terms": ["text"], "path": "text",
+                               "levenshtein_distance": 1}}],
+            "filter": {"search": {"terms": ["de"], "path": "lang"}},
+            "top": 20})
+        assert [d["doc_id"] for d in got["data"]] == [d for d, _s in want]

@@ -259,11 +259,21 @@ def query_to_request(q: str, *, search_fields: list[str],
                      remove_stopwords: bool = True,
                      stopword_lists: list[str] | None = None,
                      top: int = 10, skip: int = 0,
-                     facets: list | None = None) -> dict:
+                     facets: list | None = None,
+                     boost_fields: dict[str, float] | None = None,
+                     boost_terms: dict[str, float] | None = None,
+                     filter_query: str | None = None) -> dict:
     """Query string → engine request dict (SURVEY.md §2.5 generator).
 
     ``stopword_lists`` selects the reference's per-language lists (e.g.
     ``["en"]``); when None, ``remove_stopwords=True`` uses EN∪DE.
+
+    Reference generator options (query_generator.rs SearchQueryGenerator-
+    Parameters): ``boost_fields`` {field: factor} multiplies every leaf on
+    that field (:85-132 boost per RequestSearchPart); ``boost_terms``
+    {"term" or "field:term": factor} adds boost_term entries (:204-210);
+    ``filter_query`` is parsed with levenshtein 0 and becomes the ids-only
+    filter subtree (:225-233).
     """
     ast = parse_query(q)
     if ast is None:
@@ -275,6 +285,14 @@ def query_to_request(q: str, *, search_fields: list[str],
     elif remove_stopwords:
         ast = _strip_stopwords(ast)
     ast = _flatten(ast)
+
+    bf = boost_fields or {}
+
+    def leaf_for(leaf: dict, field: str) -> dict:
+        out = {**leaf, "path": field}
+        if field in bf:
+            out["boost"] = float(bf[field])
+        return out
 
     def to_req(node):
         if "term" in node:
@@ -288,17 +306,48 @@ def query_to_request(q: str, *, search_fields: list[str],
             if t.is_regex:
                 leaf["is_regex"] = True
             if t.field is not None:
-                return {"search": {**leaf, "path": t.field}}
+                return {"search": leaf_for(leaf, t.field)}
             fields = search_fields
             if len(fields) == 1:
-                return {"search": {**leaf, "path": fields[0]}}
+                return {"search": leaf_for(leaf, fields[0])}
             # multi-field expansion: legs share the term tag so the OR n²
             # formula counts the query term once
-            return {"or": [{"search": {**leaf, "path": f}} for f in fields]}
+            return {"or": [{"search": leaf_for(leaf, f)} for f in fields]}
         op = "or" if "or" in node else "and"
         return {op: [to_req(c) for c in node[op]]}
 
     request = {"search_req": to_req(ast), "top": top, "skip": skip}
+
+    if boost_terms:
+        bt = []
+        for spec, factor in sorted(boost_terms.items()):
+            if ":" in spec:
+                fld, term = spec.split(":", 1)
+                bt.append({"path": fld, "terms": [term], "boost": float(factor)})
+            else:
+                for f in search_fields:
+                    bt.append({"path": f, "terms": [spec], "boost": float(factor)})
+        request["boost_term"] = bt
+
+    if filter_query:
+        filter_ast = _flatten(parse_query(filter_query))
+        if filter_ast is not None:
+            def to_filter(node):
+                if "term" in node:
+                    t: Term = node["term"]
+                    leaf = {"terms": [t.text], "levenshtein_distance": 0}
+                    if t.starts_with:
+                        leaf["starts_with"] = True
+                    if t.field is not None:
+                        return {"search": {**leaf, "path": t.field}}
+                    if len(search_fields) == 1:
+                        return {"search": {**leaf, "path": search_fields[0]}}
+                    return {"or": [{"search": {**leaf, "path": f}}
+                                   for f in search_fields]}
+                op = "or" if "or" in node else "and"
+                return {op: [to_filter(c) for c in node[op]]}
+
+            request["filter"] = to_filter(filter_ast)
 
     # adjacent term pairs → phrase boosts (ast.rs:121-147, generator :212-223)
     terms: list[Term] = []

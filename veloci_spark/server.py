@@ -68,9 +68,13 @@ def make_handler(indices: dict):
                     idx = self._index(parts[0])
                     if idx is None:
                         return
-                    self._send(200, search_query(
-                        idx, q["query"], top=int(q.get("top", 10)),
-                        skip=int(q.get("skip", 0))))
+                    kw = {"top": int(q.get("top", 10)),
+                          "skip": int(q.get("skip", 0))}
+                    if "fields" in q:   # restrict searched fields
+                        kw["search_fields"] = q["fields"].split(",")
+                    if "filter" in q:   # ids-only filter query (lev 0)
+                        kw["filter_query"] = q["filter"]
+                    self._send(200, search_query(idx, q["query"], **kw))
                     return
                 if len(parts) == 2 and parts[1] == "suggest":
                     idx = self._index(parts[0])
