@@ -481,6 +481,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb.unionByName(pert), threshold=0.9
         ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
 
+    def sim_ivf_topk(spark, sf_dir):
+        # IVF ANN with nprobe = ncells (probe-all): exercises the k-means
+        # cell assignment + probe machinery while remaining EXACT — the
+        # brute-force oracle must match rank for rank
+        import numpy as np
+
+        emb = _embeddings(spark, sf_dir)
+        assigned, centroids = sim.ivf_build(emb, ncells=8)
+        assigned = assigned.cache()
+        out = None
+        for qid in (5, 6, 7):
+            qv = np.asarray(
+                emb.where(F.col("vec_id") == qid).first()["embedding"],
+                dtype=np.float64)
+            # ivf_topk returns rows already in (cosine DESC, vec_id ASC) order
+            pdf = sim.ivf_topk(assigned, centroids, qv, k=10, nprobe=8) \
+                .select("vec_id").toPandas()
+            rows = [(qid, int(v), i + 1) for i, v in enumerate(pdf["vec_id"])]
+            df = spark.createDataFrame(rows, "query_id long, vec_id long, rank long")
+            out = df if out is None else out.unionByName(df)
+        return out.orderBy("query_id", "rank")
+
     def ts_quality(spark, sf_dir):
         return ts.quality_scores(_documents(spark, sf_dir)).select(
             F.col("doc_id").cast("long"),
@@ -525,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_pairs": dd_minhash_pairs,
         "dd_simhash_pairs": dd_simhash_pairs,
         "sim_cosine_topk": sim_cosine_topk,
+        "sim_ivf_topk": sim_ivf_topk,
         "sim_embedding_neardup": sim_embedding_neardup,
         "ts_quality": ts_quality,
         "ts_token_counts": ts_token_counts,
@@ -777,6 +800,25 @@ ORDER BY id_a, id_b
     sql["sim_cosine_topk"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < 3),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_cosine_similarity(c.cv, q.qv) AS cosine
+  FROM c CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+    sql["sim_ivf_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id IN (5, 6, 7)),
 c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
 scored AS (
   SELECT q.query_id, c.vec_id,
