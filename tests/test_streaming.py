@@ -1,0 +1,140 @@
+"""Generation-based incremental indexing + Structured Streaming ingestion.
+
+The reference has no delta updates (its design excludes them); these tests
+cover the Spark-native extension: micro-batches → immutable generations,
+cross-generation ranked search, id stability, and compaction restoring
+globally exact term statistics.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def _batch_rows(start, n, stamp):
+    return [
+        {"url": f"https://example.org/{stamp}/{i:04d}",
+         "text": f"streaming spark batch {stamp} doc number {i} with query terms",
+         "lang": "en"}
+        for i in range(start, start + n)
+    ]
+
+
+@pytest.fixture()
+def stream_cfg():
+    from veloci_spark.config import FieldConfig, IndexConfig
+
+    return IndexConfig(
+        fields=(FieldConfig("text"),
+                FieldConfig("lang", tokenize=False, phrase_pairs=False,
+                            token_texts=False)),
+        segment_docs=16,
+    )
+
+
+class TestGenerations:
+    def test_two_batches_two_generations(self, spark, stream_cfg, tmp_path):
+        from veloci_spark.streaming import MultiIndex, ingest_batch
+
+        root = str(tmp_path / "root")
+        ingest_batch(spark, spark.createDataFrame(_batch_rows(0, 30, "a")),
+                     stream_cfg, root)
+        ingest_batch(spark, spark.createDataFrame(_batch_rows(0, 20, "b")),
+                     stream_cfg, root)
+        with open(os.path.join(root, "generations.json")) as f:
+            gens = json.load(f)
+        assert [g["gen"] for g in gens] == [0, 1]
+        assert [g["base"] for g in gens] == [0, 30]
+        assert [g["n_docs"] for g in gens] == [30, 20]
+
+        mi = MultiIndex(spark, root)
+        assert mi.n_docs == 50
+        res = mi.search({"search": {"terms": ["spark"], "path": "text"},
+                         "top": 50})
+        ids = [d["doc_id"] for d in res["data"]]
+        # docs from BOTH generations, global ids disjoint
+        assert any(i < 30 for i in ids) and any(i >= 30 for i in ids)
+        # ranked by (score DESC, doc_id DESC)
+        pairs = [(np.float32(d["score"]), d["doc_id"]) for d in res["data"]]
+        assert pairs == sorted(pairs, key=lambda p: (-p[0], -p[1]))
+
+    def test_doc_routing(self, spark, stream_cfg, tmp_path):
+        from veloci_spark.streaming import MultiIndex, ingest_batch
+
+        root = str(tmp_path / "root")
+        ingest_batch(spark, spark.createDataFrame(_batch_rows(0, 10, "a")),
+                     stream_cfg, root)
+        ingest_batch(spark, spark.createDataFrame(_batch_rows(0, 10, "b")),
+                     stream_cfg, root)
+        mi = MultiIndex(spark, root)
+        d0 = mi.get_doc(3)
+        d1 = mi.get_doc(13)
+        assert "/a/" in d0["url"] and "/b/" in d1["url"]
+        assert mi.get_doc(999) is None
+
+    def test_compaction_preserves_ids_and_results(self, spark, stream_cfg,
+                                                  tmp_path):
+        from veloci_spark.search import FulltextIndex, search
+        from veloci_spark.streaming import MultiIndex, compact, ingest_batch
+
+        root = str(tmp_path / "root")
+        ingest_batch(spark, spark.createDataFrame(_batch_rows(0, 25, "a")),
+                     stream_cfg, root)
+        ingest_batch(spark, spark.createDataFrame(_batch_rows(0, 25, "b")),
+                     stream_cfg, root)
+        before = MultiIndex(spark, root).search(
+            {"search": {"terms": ["spark"], "path": "text"}, "top": 50})
+        rec = compact(spark, root, stream_cfg)
+        assert rec["n_docs"] == 50
+        mi = MultiIndex(spark, root)
+        assert len(mi.gens) == 1
+        after = mi.search(
+            {"search": {"terms": ["spark"], "path": "text"}, "top": 50})
+        # same hit set, same global ids (ids survive compaction)
+        assert {d["doc_id"] for d in before["data"]} == \
+               {d["doc_id"] for d in after["data"]}
+        # post-compaction the single generation equals a from-scratch build:
+        # term stats are globally exact → scores match a one-shot index
+        one = FulltextIndex(spark, mi.gens[0]["dir"])
+        direct = search(one, {"search": {"terms": ["spark"], "path": "text"},
+                              "top": 50})
+        assert [(d["doc_id"], d["score"]) for d in after["data"]] == \
+               [(d["doc_id"], d["score"]) for d in direct["data"]]
+
+
+class TestStructuredStreaming:
+    def test_file_stream_ingestion(self, spark, stream_cfg, tmp_path):
+        from veloci_spark.streaming import MultiIndex, index_stream
+
+        src = tmp_path / "src"
+        src.mkdir()
+        for stamp in ("a", "b"):
+            with open(src / f"{stamp}.json", "w") as f:
+                for r in _batch_rows(0, 12, stamp):
+                    f.write(json.dumps(r) + "\n")
+        schema = "url string, text string, lang string"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)   # force one generation per file
+            .json(str(src))
+        )
+        root = str(tmp_path / "root")
+        q = index_stream(stream, stream_cfg, root,
+                         str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+        mi = MultiIndex(spark, root)
+        assert mi.n_docs == 24
+        assert len(mi.gens) == 2
+        res = mi.search({"search": {"terms": ["streaming"], "path": "text"},
+                         "top": 30})
+        assert len(res["data"]) == 24
+
+        # restart with the same checkpoint: nothing new → no new generations
+        q2 = index_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).json(str(src)),
+            stream_cfg, root, str(tmp_path / "ckpt"))
+        q2.awaitTermination(120)
+        assert len(MultiIndex(spark, root).gens) == 2

@@ -1,0 +1,209 @@
+"""Incremental index maintenance — generations + Structured Streaming.
+
+The reference engine explicitly excludes delta updates (its README "no
+delta" note; the sharding module is commented out, shards.rs:1-267): an
+index is built once, immutable. Spark-first we can do better without
+touching that invariant: **log-structured generations**.
+
+* Every ingested micro-batch becomes its own immutable GENERATION — a
+  complete index (dict/postings/phrase/docs) over just that batch, built by
+  the ordinary :func:`veloci_spark.build.build_index`. Nothing is ever
+  rewritten in place, so every generation keeps the reference's
+  immutability story and the per-stage resume/fingerprint machinery.
+* Each generation's docs get GLOBAL doc ids: ``base + local`` where
+  ``base`` is the running total from ``generations.json`` (ids are
+  assigned before the build via ``doc_id_col``, so they are stable across
+  compactions).
+* Queries fan out over generations (:class:`MultiIndex`) — each
+  generation evaluates segment-locally exactly like a single index, and
+  candidates merge by the global (score DESC, doc_id DESC) order.
+* ``compact()`` rebuilds one generation from the union of all docs —
+  Lucene's segment merge, expressed as a plain batch rebuild. After
+  compaction term statistics (num_occurences) are globally exact again;
+  between compactions they are per-generation, exactly like Lucene
+  segments before merge (documented approximation).
+
+Structured Streaming enters via ``index_stream``: ``readStream`` source →
+``writeStream.foreachBatch(ingest into a new generation)`` with a
+checkpoint location, so a restarted stream resumes at the right batch and
+never double-ingests (foreachBatch epochs are tracked by the checkpoint).
+Single-writer by construction — foreachBatch serializes batches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from veloci_spark.config import IndexConfig
+
+_GENS_FILE = "generations.json"
+
+
+def _read_gens(root_dir: str) -> list[dict]:
+    path = os.path.join(root_dir, _GENS_FILE)
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return json.load(f)
+
+
+def _write_gens(root_dir: str, gens: list[dict]) -> None:
+    path = os.path.join(root_dir, _GENS_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(gens, f, indent=2)
+    os.replace(tmp, path)  # atomic swap — readers never see a partial file
+
+
+def gen_dir(root_dir: str, gen_id: int) -> str:
+    return os.path.join(root_dir, f"gen={gen_id:06d}")
+
+
+def ingest_batch(spark: SparkSession, df: DataFrame, config: IndexConfig,
+                 root_dir: str) -> dict:
+    """Index one batch of documents as a new generation. Returns the
+    generation record {gen, base, n_docs, dir}."""
+    from veloci_spark.build import build_index
+
+    os.makedirs(root_dir, exist_ok=True)
+    gens = _read_gens(root_dir)
+    gen_id = (max(g["gen"] for g in gens) + 1) if gens else 0
+    base = sum(g["n_docs"] for g in gens)
+    d = gen_dir(root_dir, gen_id)
+
+    # global ids: assign 0-based local ids via the normal machinery, offset
+    # by the running base, then build with doc_id_col (no second assignment)
+    from veloci_spark.build import assign_doc_ids
+
+    if config.doc_id_col and config.doc_id_col in df.columns:
+        with_ids = df.withColumn("_gid", F.col(config.doc_id_col) + F.lit(base))
+    else:
+        local = assign_doc_ids(df, config.order_col)
+        with_ids = local.withColumn("_gid", F.col("doc_id") + F.lit(base)) \
+            .drop("doc_id")
+    gen_config = IndexConfig(
+        fields=config.fields, doc_id_col="_gid", order_col=config.order_col,
+        segment_docs=config.segment_docs,
+        posting_block_docs=config.posting_block_docs,
+        tokenizer_engine=config.tokenizer_engine)
+    manifest = build_index(spark, with_ids, gen_config, d)
+    rec = {"gen": gen_id, "base": base, "n_docs": manifest["n_docs"],
+           "dir": d, "ts": time.time()}
+    _write_gens(root_dir, gens + [rec])
+    return rec
+
+
+def index_stream(stream_df: DataFrame, config: IndexConfig, root_dir: str,
+                 checkpoint_dir: str, **trigger_kw):
+    """Attach generation ingestion to a streaming DataFrame.
+
+    Returns the started ``StreamingQuery``; every non-empty micro-batch
+    becomes one generation. ``trigger_kw`` forwards to ``trigger()`` —
+    default ``availableNow=True`` (drain the source, then stop), use
+    ``processingTime='30 seconds'`` for continuous tailing.
+    """
+    if not trigger_kw:
+        trigger_kw = {"availableNow": True}
+
+    def handle(batch_df: DataFrame, _epoch_id: int):
+        if batch_df.isEmpty():
+            return
+        ingest_batch(batch_df.sparkSession, batch_df, config, root_dir)
+
+    return (
+        stream_df.writeStream
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**trigger_kw)
+        .start()
+    )
+
+
+class MultiIndex:
+    """Query handle over all generations of a streamed index root."""
+
+    def __init__(self, spark: SparkSession, root_dir: str):
+        from veloci_spark.search import FulltextIndex
+
+        self.spark = spark
+        self.root_dir = root_dir
+        self.gens = _read_gens(root_dir)
+        self.indexes = [(g, FulltextIndex(spark, g["dir"])) for g in self.gens]
+
+    @property
+    def n_docs(self) -> int:
+        return sum(g["n_docs"] for g in self.gens)
+
+    def search(self, request: dict) -> dict:
+        """Ranked search across generations: per-generation evaluation
+        (segment-local, unchanged), global (score DESC, doc_id DESC) merge.
+        Returns the reference result shape (data + num_hits fields)."""
+        import numpy as np
+
+        from veloci_spark.search import _apply_anchor_boosts, _search_hits
+
+        top = request.get("top", 10)
+        skip = request.get("skip", 0)
+        merged = None
+        exact = True
+        for _g, idx in self.indexes:
+            hits, plan, _leaves = _search_hits(idx, request, need_all=False)
+            hits = _apply_anchor_boosts(idx, hits, request)
+            exact = exact and plan.get("top") is None
+            merged = hits if merged is None else merged.unionByName(hits)
+        if merged is None:
+            return {"num_hits": 0, "num_hits_exact": True, "data": []}
+        ranked = merged.orderBy(F.desc("score"), F.desc("doc_id")) \
+            .limit(top + skip).collect()[skip:]
+        return {
+            "num_hits": len(ranked),
+            "num_hits_exact": exact,
+            "data": [{"doc_id": r["doc_id"],
+                      "score": float(np.float32(r["score"]))} for r in ranked],
+        }
+
+    def get_doc(self, doc_id: int, columns=None):
+        """Route a global doc id to its generation."""
+        from veloci_spark.search import get_doc
+
+        for g, idx in self.indexes:
+            if g["base"] <= doc_id < g["base"] + g["n_docs"]:
+                return get_doc(idx, doc_id, columns)
+        return None
+
+
+def compact(spark: SparkSession, root_dir: str, config: IndexConfig) -> dict:
+    """Merge all generations into one (the segment-merge of this design):
+    re-read every generation's doc store (global ids preserved), rebuild a
+    single index over the union, atomically swap the generation list, then
+    delete the old generation dirs. Term statistics become globally exact."""
+    import shutil
+
+    from veloci_spark.build import build_index
+
+    gens = _read_gens(root_dir)
+    if len(gens) <= 1:
+        return gens[0] if gens else {}
+    docs = None
+    for g in gens:
+        d = spark.read.parquet(os.path.join(g["dir"], "docs"))
+        docs = d if docs is None else docs.unionByName(d)
+    new_id = max(g["gen"] for g in gens) + 1
+    d = gen_dir(root_dir, new_id)
+    cfg = IndexConfig(
+        fields=config.fields, doc_id_col="doc_id", order_col=config.order_col,
+        segment_docs=config.segment_docs,
+        posting_block_docs=config.posting_block_docs,
+        tokenizer_engine=config.tokenizer_engine)
+    manifest = build_index(spark, docs, cfg, d)
+    rec = {"gen": new_id, "base": 0, "n_docs": manifest["n_docs"],
+           "dir": d, "ts": time.time()}
+    _write_gens(root_dir, [rec])
+    for g in gens:
+        shutil.rmtree(g["dir"], ignore_errors=True)
+    return rec
