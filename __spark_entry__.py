@@ -130,6 +130,30 @@ def _nested_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _get_bm25_index(spark: SparkSession, sf_dir: str):
+    from veloci_spark.build import build_index, index_fingerprint
+    from veloci_spark.search import FulltextIndex
+
+    data_fp = _data_fingerprint(f"{sf_dir}/documents.parquet")
+    cfg = IndexConfig(
+        fields=(FieldConfig("text"),
+                FieldConfig("lang", tokenize=False, phrase_pairs=False,
+                            token_texts=False)),
+        doc_id_col="doc_id", segment_docs=1024, scoring="bm25")
+    fp = index_fingerprint(cfg, data_fp)
+    key = hashlib.md5(f"{sf_dir}|{fp}".encode()).hexdigest()[:10]
+    with _IDX_LOCK:
+        if key in _IDX_CACHE:
+            return _IDX_CACHE[key]
+        index_dir = f"/tmp/veloci_entry_bidx_{key}"
+        os.makedirs(index_dir, exist_ok=True)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        build_index(spark, docs, cfg, index_dir, input_fingerprint=data_fp)
+        idx = FulltextIndex(spark, index_dir)
+        _IDX_CACHE[key] = idx
+        return idx
+
+
 def _get_nested_index(spark: SparkSession, sf_dir: str):
     from veloci_spark.build import build_index, index_fingerprint
     from veloci_spark.search import FulltextIndex
@@ -383,6 +407,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("term")
         )
 
+    def ft_bm25_topk(spark, sf_dir):
+        # Okapi BM25 mode (IndexConfig.scoring="bm25"): top-20 docs for one
+        # term by the build-time-quantized integer score — the oracle
+        # recomputes df/N/avgdl/tf and the exact floor(100·bm25 + .5) values
+        import numpy as np
+
+        from veloci_spark.vbyte import unpack_postings
+
+        idx = _get_bm25_index(spark, sf_dir)
+        tid = (idx.dict_df
+               .where((F.col("field") == "text") & (F.col("term") == "spark"))
+               .select("term_id").first())
+        if tid is None:
+            return spark.createDataFrame([], "doc_id long, score long")
+        rows = idx.postings.where(
+            (F.col("field") == "text") & (F.col("term_id") == tid[0])).toPandas()
+        seg_docs = idx.manifest["segment_docs"]
+        pairs = []
+        for _, r in rows.iterrows():
+            ids, sc = unpack_postings(r["docs_bin"], r["scores_bin"])
+            ids = ids + int(r["segment"]) * seg_docs
+            pairs.extend((int(d), int(s)) for d, s in zip(ids, sc))
+        pairs.sort(key=lambda t: (-t[1], -t[0]))
+        return spark.createDataFrame(pairs[:20] or [], "doc_id long, score long")
+
     def ft_nested_search_ids(spark, sf_dir):
         # B10/Q8: term search over a 1:n value field → anchor (parent) ids
         idx = _get_nested_index(spark, sf_dir)
@@ -538,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_docs": ft_phrase_docs,
         "ft_facet_lang": ft_facet_lang,
         "ft_dict_prefix": ft_dict_prefix,
+        "ft_bm25_topk": ft_bm25_topk,
         "ft_nested_search_ids": ft_nested_search_ids,
         "ft_nested_facet_lang": ft_nested_facet_lang,
         "ft_nested_tokentexts": ft_nested_tokentexts,
@@ -644,6 +694,43 @@ GROUP BY d.lang ORDER BY cnt DESC, lang ASC
 WITH {runs}, {occ}
 SELECT term, num_occurences FROM occ
 WHERE term LIKE 'sc%' ORDER BY term
+"""
+
+    # Okapi BM25 (k1=1.2, b=0.75, Lucene idf), quantized
+    # floor(100·s + 0.5) min 1, duplicate (term, doc) entries summed;
+    # df counts texts per term (token texts ∪ storable exact texts),
+    # N/avgdl over tokenized texts only — mirrors the build's stats
+    sql["ft_bm25_topk"] = f"""
+WITH {runs},
+toks AS (
+  SELECT doc_id, tok, COUNT(*) AS tf, MAX(n_tokens) AS dl
+  FROM runs GROUP BY doc_id, tok
+),
+stats AS (
+  SELECT COUNT(*) AS n_texts, AVG(dl) AS avgdl
+  FROM (SELECT doc_id, MAX(n_tokens) AS dl FROM runs GROUP BY doc_id)
+),
+dfreq AS (
+  SELECT c AS df FROM (
+    SELECT (SELECT COUNT(*) FROM toks WHERE tok = 'spark')
+         + (SELECT COUNT(*) FROM documents
+            WHERE octet_length(encode(text)) <= 64 AND text = 'spark') AS c)
+),
+ent AS (
+  SELECT doc_id, tf::DOUBLE AS tf, dl::DOUBLE AS dl FROM toks WHERE tok = 'spark'
+  UNION ALL
+  SELECT doc_id, 1.0, 1.0 FROM documents
+  WHERE octet_length(encode(text)) <= 64 AND text = 'spark'
+),
+scored AS (
+  SELECT e.doc_id,
+    GREATEST(FLOOR(100.0 * ln(1.0 + (s.n_texts - d.df + 0.5) / (d.df + 0.5))
+      * (e.tf * 2.2) / (e.tf + 1.2 * (1.0 - 0.75 + 0.75 * e.dl / s.avgdl))
+      + 0.5), 1.0)::BIGINT AS v
+  FROM ent e, stats s, dfreq d
+)
+SELECT doc_id, SUM(v)::BIGINT AS score FROM scored
+GROUP BY doc_id ORDER BY score DESC, doc_id DESC LIMIT 20
 """
 
     # nested corpus twin: parent = doc_id // 10, member pos = doc_id % 10

@@ -104,6 +104,7 @@ def index_fingerprint(config: IndexConfig, input_fingerprint: str = "") -> str:
         "order_col": config.order_col,
         "segment_docs": config.segment_docs,
         "posting_block_docs": config.posting_block_docs,
+        "scoring": config.scoring,
         "input": input_fingerprint,
     }, sort_keys=True)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
@@ -635,8 +636,28 @@ _POSTING_SCHEMA = T.StructType([
 ])
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_u32(tf, df, dl, n_texts: int, avgdl: float) -> "np.ndarray":
+    """Okapi BM25 per (term, text), quantized ×100 to u32. Lucene idf
+    (always ≥ 0); fully static at build time."""
+    tf = tf.astype(np.float64)
+    df = df.astype(np.float64)
+    dl = dl.astype(np.float64)
+    idf = np.log(1.0 + (n_texts - df + 0.5) / (df + 0.5))
+    denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / max(avgdl, 1e-9))
+    s = 100.0 * idf * (tf * (BM25_K1 + 1.0)) / denom
+    # floor(x + 0.5): half-up rounding — portable with SQL (np.round is
+    # half-to-even, SQL round() half-away; floor(+0.5) agrees everywhere)
+    return np.maximum(np.floor(s + 0.5), 1.0).astype(np.uint64)
+
+
 def _pack_partition_factory(index_dir: str, block_docs: int, segment_docs: int,
-                            nested_fields: frozenset = frozenset()):
+                            nested_fields: frozenset = frozenset(),
+                            scoring: str = "veloci",
+                            field_stats: dict | None = None):
     def pack(iterator):
         from pyspark import TaskContext
 
@@ -656,10 +677,21 @@ def _pack_partition_factory(index_dir: str, block_docs: int, segment_docs: int,
             poss = pdf["pos"].values.astype(np.int64)
             # index-time scores computed HERE (one Arrow pass instead of a
             # separate pandas_udf round trip over the full entry stream)
-            scores = index_score_u32(
-                pdf["best_pos"].values, pdf["num_occurences"].values,
-                pdf["n_tokens"].values, pdf["is_exact"].values,
-            ).astype(np.uint64)
+            if scoring == "bm25":
+                stats = field_stats or {}
+                scores = np.empty(len(pdf), dtype=np.uint64)
+                for fld in pd.unique(pdf["field"]):
+                    m = (pdf["field"] == fld).values
+                    st = stats.get(fld, {"n_texts": 1, "avgdl": 1.0})
+                    scores[m] = _bm25_u32(
+                        pdf["cnt"].values[m], pdf["doc_freq"].values[m],
+                        pdf["n_tokens"].values[m],
+                        st["n_texts"], st["avgdl"])
+            else:
+                scores = index_score_u32(
+                    pdf["best_pos"].values, pdf["num_occurences"].values,
+                    pdf["n_tokens"].values, pdf["is_exact"].values,
+                ).astype(np.uint64)
             n = len(pdf)
             change = np.empty(n, dtype=bool)
             change[0] = True
@@ -857,18 +889,36 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
     if not _stage_done(index_dir, "dict", fp):
         t0 = time.time()
         # num_occurences = corpus-wide frequency: once per token occurrence
-        # + once per storable full-text occurrence (create_fulltext.rs:81-111)
-        token_counts = tokens.groupBy("field", "token").agg(F.sum("cnt").alias("cnt")) \
-            .withColumnRenamed("token", "term")
-        text_parts = [storable_texts(fc).groupBy("field", "term").agg(F.count("*").alias("cnt"))
+        # + once per storable full-text occurrence (create_fulltext.rs:81-111);
+        # doc_freq = texts containing the term (entry rows are per
+        # (text, token) already) — the BM25 df
+        token_counts = tokens.groupBy("field", "token").agg(
+            F.sum("cnt").alias("cnt"),
+            F.count("*").alias("doc_freq")).withColumnRenamed("token", "term")
+        text_parts = [storable_texts(fc).groupBy("field", "term").agg(
+                          F.count("*").alias("cnt"),
+                          F.count("*").alias("doc_freq"))
                       for fc in dict_fields]
         counts = token_counts
         for p in text_parts:
             counts = counts.unionByName(p)
         # materialize the counts before range partitioning: repartitionByRange
         # SAMPLES its input, which would recompute the aggregation twice
-        counts.groupBy("field", "term").agg(F.sum("cnt").alias("num_occurences")) \
+        counts.groupBy("field", "term").agg(
+            F.sum("cnt").alias("num_occurences"),
+            F.sum("doc_freq").alias("doc_freq")) \
             .write.mode("overwrite").parquet(occ_path)
+        # per-field text stats (BM25 N + avgdl): one tiny aggregation over
+        # per-text lengths (n_tokens repeats per entry → first() per text)
+        text_lens = tokens.groupBy("field", "doc_id", "pos").agg(
+            F.first("n_tokens").alias("dl"))
+        stats_rows = text_lens.groupBy("field").agg(
+            F.count("*").alias("n_texts"), F.avg("dl").alias("avgdl")).collect()
+        field_stats = {r["field"]: {"n_texts": int(r["n_texts"]),
+                                    "avgdl": float(r["avgdl"])}
+                       for r in stats_rows}
+        with open(os.path.join(index_dir, "_field_stats.json"), "w") as fh:
+            json.dump(field_stats, fh)
         t1 = time.time()
         _write_checkpoint(index_dir, "dict-occ", 0, {"wall_sec": t1 - t0})
         occurrences = spark.read.parquet(occ_path)
@@ -889,13 +939,14 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
         # tokenize kernel (best/first position per token)
         token_entries = (
             tokens.select("field", "doc_id", "pos", F.col("token").alias("term"),
-                          "best_pos", "n_tokens")
+                          "best_pos", "n_tokens", "cnt")
             .withColumn("is_exact", F.lit(False))
         )
         text_entries_parts = [
             storable_texts(fc).select(
                 "field", "doc_id", "pos", "term",
                 F.lit(0).alias("best_pos"), F.lit(1).alias("n_tokens"),
+                F.lit(1).alias("cnt"),
                 F.lit(True).alias("is_exact"),
             )
             for fc in dict_fields
@@ -904,7 +955,8 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
         for p in text_entries_parts:
             entries = entries.unionByName(p)
 
-        dict_side = term_dict.select("field", "term", "term_id", "num_occurences")
+        dict_side = term_dict.select("field", "term", "term_id",
+                                     "num_occurences", "doc_freq")
         if term_dict.count() <= 2_000_000:
             # dictionaries up to ~150 MB broadcast (no shuffle — measured 3×
             # faster than the sort-merge join of the full entry stream);
@@ -917,7 +969,8 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
             entries.join(dict_side, on=["field", "term"], how="inner")
             .withColumn("segment", (F.col("doc_id") / F.lit(segment_docs)).cast("int"))
             .select("field", "term_id", "segment", "doc_id", "pos",
-                    "best_pos", "num_occurences", "n_tokens", "is_exact")
+                    "best_pos", "num_occurences", "n_tokens", "cnt",
+                    "doc_freq", "is_exact")
         )
         # hash repartition (NOT range — range sampling would recompute the
         # whole scored plan twice); the pack kernel needs each
@@ -928,7 +981,8 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
             scored.repartition(num_partitions, "field", "term_id", "segment")
             .sortWithinPartitions("field", "term_id", "segment", "doc_id", "pos")
             .mapInPandas(_pack_partition_factory(index_dir, config.posting_block_docs,
-                                                 segment_docs, nested_names),
+                                                 segment_docs, nested_names,
+                                                 config.scoring, _load_field_stats(index_dir)),
                          schema=_POSTING_SCHEMA)
         )
         # write the pack output directly — "segment" is a normal sorted
@@ -1022,6 +1076,8 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
     manifest = {
         "version": LAYOUT_VERSION,
         "fingerprint": fp,
+        "scoring": config.scoring,
+        "field_stats": _load_field_stats(index_dir),
         "built_at": time.time(),
         "n_docs": int(n_docs),
         "n_terms": int(n_terms),
@@ -1045,6 +1101,14 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
     with open(os.path.join(index_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest
+
+
+def _load_field_stats(index_dir: str) -> dict:
+    path = os.path.join(index_dir, "_field_stats.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
 
 
 def load_manifest(index_dir: str) -> dict:

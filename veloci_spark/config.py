@@ -60,6 +60,13 @@ class IndexConfig:
     num_segments: int = 0              # 0 → derived from input partitions
     segment_docs: int = 1 << 20        # target docs per segment at scale
     posting_block_docs: int = 4096     # max docs per packed posting block
+    # index-time score formula packed into the postings:
+    #   "veloci" (default): the reference's formula — rank-identical parity
+    #     (f32 arithmetic, u32 truncation, f16 read quantization).
+    #   "bm25": Okapi BM25 (k1=1.2, b=0.75, Lucene idf) — computable fully
+    #     at build time because the corpus is static (df, N, avgdl known),
+    #     quantized ×100 to u32; block-max WAND works unchanged.
+    scoring: str = "veloci"
     # "arrow" (default): vectorized mapInPandas tokenize/pair kernels —
     # measured 8× faster than the JVM higher-order-function path (numpy
     # dict-grouping is O(runs) per doc; the HOF formulation pays

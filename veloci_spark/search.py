@@ -777,6 +777,9 @@ def _search_hits(index: FulltextIndex, request: dict, need_all: bool):
                             if l.leaf_id in scored_ids],
         "top": None if emit_all else top + skip,
         "segment_docs": int(index.manifest["segment_docs"]),
+        # veloci mode quantizes stored scores through f16 on read (reference
+        # parity); bm25 scores skip the lossy round-trip
+        "quantize_f16": index.manifest.get("scoring", "veloci") == "veloci",
     }
     # WAND-style pruning (single unboosted leaf, plain top-k): posting rows
     # are processed in descending max-possible-score order and skipped —
@@ -847,14 +850,20 @@ def _search_hits(index: FulltextIndex, request: dict, need_all: bool):
     return hits, plan, leaves
 
 
-def _wand_segment(g: pd.DataFrame, k: int, base: int):
+def _stored_to_f32(stored: np.ndarray, quantize_f16: bool) -> np.ndarray:
+    if quantize_f16:
+        return stored.astype(np.float16).astype(_F32) / _F32(100.0)
+    return stored.astype(_F32) / _F32(100.0)
+
+
+def _wand_segment(g: pd.DataFrame, k: int, base: int, quantize_f16: bool = True):
     """Single-leaf top-k with max-score row pruning: rows sorted by upper
     bound (term_score × f16(max_score)/100) descending; once k distinct docs
     exist and the next row's upper bound is below the running kth deduped
     score, the remaining rows are never decoded."""
     ts = g["term_score"].values.astype(_F32)
-    upper = (ts * (g["max_score"].values.astype(np.uint32)
-                   .astype(np.float16).astype(_F32) / _F32(100.0))).astype(_F32)
+    upper = (ts * _stored_to_f32(
+        g["max_score"].values.astype(np.uint32), quantize_f16)).astype(_F32)
     order = np.argsort(-upper.astype(np.float64), kind="stable")
     acc_ids: list = []
     acc_sc: list = []
@@ -868,7 +877,7 @@ def _wand_segment(g: pd.DataFrame, k: int, base: int):
         ids, stored = unpack_postings(r["docs_bin"], r["scores_bin"])
         ids = ids + base  # stored segment-relative
         fin = (_F32(r["term_score"])
-               * (stored.astype(np.float16).astype(_F32) / _F32(100.0))).astype(_F32)
+               * _stored_to_f32(stored, quantize_f16)).astype(_F32)
         acc_ids.append(ids)
         acc_sc.append(fin)
         uids, umax = _dedup_max(np.concatenate(acc_ids), np.concatenate(acc_sc))
@@ -937,7 +946,8 @@ def _segment_kernel_factory(plan: dict, scored_leaf_ids: set):
             seg_base = int(_seg) * plan["segment_docs"]
             if wand_leaf is not None:
                 ids, scores = _wand_segment(g[g["leaf_id"] == wand_leaf],
-                                            plan["top"], seg_base)
+                                            plan["top"], seg_base,
+                                            plan.get("quantize_f16", True))
                 yield pd.DataFrame({"doc_id": ids.astype(np.int64),
                                     "score": scores.astype(np.float32)})
                 continue
@@ -950,7 +960,8 @@ def _segment_kernel_factory(plan: dict, scored_leaf_ids: set):
                         ids, stored = unpack_postings(r["docs_bin"], r["scores_bin"])
                         ids = ids + seg_base  # stored segment-relative
                         ts = _F32(r["term_score"])
-                        fin = (ts * (stored.astype(np.float16).astype(_F32) / _F32(100.0))).astype(_F32)
+                        fin = (ts * _stored_to_f32(
+                            stored, plan.get("quantize_f16", True))).astype(_F32)
                         all_ids.append(ids)
                         all_sc.append(fin)
                     elif r["doc_ids"] is not None:
