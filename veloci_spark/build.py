@@ -657,7 +657,11 @@ def _bm25_u32(tf, df, dl, n_texts: int, avgdl: float) -> "np.ndarray":
 def _pack_partition_factory(index_dir: str, block_docs: int, segment_docs: int,
                             nested_fields: frozenset = frozenset(),
                             scoring: str = "veloci",
-                            field_stats: dict | None = None):
+                            field_stats: dict | None = None,
+                            field_names: list | None = None):
+    nested_idx = (frozenset(i for i, n in enumerate(field_names or [])
+                            if n in nested_fields))
+
     def pack(iterator):
         from pyspark import TaskContext
 
@@ -670,7 +674,7 @@ def _pack_partition_factory(index_dir: str, block_docs: int, segment_docs: int,
                 continue
             # rows arrive sorted by (field, term_id, segment, doc_id, pos);
             # group consecutive runs vectorized
-            fields = pdf["field"].values
+            fidx = pdf["fidx"].values
             tids = pdf["term_id"].values
             segs = pdf["segment"].values
             docs = pdf["doc_id"].values.astype(np.int64)
@@ -679,10 +683,11 @@ def _pack_partition_factory(index_dir: str, block_docs: int, segment_docs: int,
             # separate pandas_udf round trip over the full entry stream)
             if scoring == "bm25":
                 stats = field_stats or {}
+                names = field_names or []
                 scores = np.empty(len(pdf), dtype=np.uint64)
-                for fld in pd.unique(pdf["field"]):
-                    m = (pdf["field"] == fld).values
-                    st = stats.get(fld, {"n_texts": 1, "avgdl": 1.0})
+                for fi in pd.unique(fidx):
+                    m = fidx == fi
+                    st = stats.get(names[int(fi)], {"n_texts": 1, "avgdl": 1.0})
                     scores[m] = _bm25_u32(
                         pdf["cnt"].values[m], pdf["doc_freq"].values[m],
                         pdf["n_tokens"].values[m],
@@ -695,7 +700,7 @@ def _pack_partition_factory(index_dir: str, block_docs: int, segment_docs: int,
             n = len(pdf)
             change = np.empty(n, dtype=bool)
             change[0] = True
-            change[1:] = (tids[1:] != tids[:-1]) | (segs[1:] != segs[:-1]) | (fields[1:] != fields[:-1])
+            change[1:] = (tids[1:] != tids[:-1]) | (segs[1:] != segs[:-1]) | (fidx[1:] != fidx[:-1])
             starts = np.flatnonzero(change)
             ends = np.append(starts[1:], n)
             out = {k: [] for k in ("field", "term_id", "segment", "df", "max_score",
@@ -703,7 +708,7 @@ def _pack_partition_factory(index_dir: str, block_docs: int, segment_docs: int,
             for s, e in zip(starts, ends):
                 d = docs[s:e]
                 sc = scores[s:e]
-                if fields[s] in nested_fields and e - s > 1:
+                if fidx[s] in nested_idx and e - s > 1:
                     # 1:n field: each value is its own text. Duplicate
                     # (term, doc, pos) entries (exact-text + token of the
                     # same value string) SUM; the anchor (doc) score is the
@@ -738,7 +743,7 @@ def _pack_partition_factory(index_dir: str, block_docs: int, segment_docs: int,
                 bmax = np.empty(nb, dtype=np.uint32)
                 for b in range(nb):
                     bmax[b] = sc[b * block_docs:(b + 1) * block_docs].max()
-                out["field"].append(fields[s])
+                out["field"].append((field_names or [])[int(fidx[s])])
                 out["term_id"].append(tids[s])
                 out["segment"].append(segs[s])
                 out["df"].append(n_run)
@@ -965,12 +970,22 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
         # scores are computed inside the pack kernel (after the shuffle) —
         # the raw inputs travel instead of a pre-computed score column, so
         # the entry stream crosses the Arrow boundary exactly once
+        # shuffle slimming: the field NAME (repeated string) travels as a
+        # 1-byte index; only the score inputs the active formula needs ride
+        # along (veloci: best_pos/occ/n_tokens/is_exact; bm25: cnt/doc_freq/
+        # n_tokens)
+        field_names = [fc.name for fc in config.fields]
+        fidx_expr = F.lit(None).cast("int")
+        for i, name in enumerate(field_names):
+            fidx_expr = F.when(F.col("field") == name, F.lit(i)).otherwise(fidx_expr)
+        score_cols = (["cnt", "doc_freq", "n_tokens"]
+                      if config.scoring == "bm25"
+                      else ["best_pos", "num_occurences", "n_tokens", "is_exact"])
         scored = (
             entries.join(dict_side, on=["field", "term"], how="inner")
             .withColumn("segment", (F.col("doc_id") / F.lit(segment_docs)).cast("int"))
-            .select("field", "term_id", "segment", "doc_id", "pos",
-                    "best_pos", "num_occurences", "n_tokens", "cnt",
-                    "doc_freq", "is_exact")
+            .withColumn("fidx", fidx_expr.cast("byte"))
+            .select("fidx", "term_id", "segment", "doc_id", "pos", *score_cols)
         )
         # hash repartition (NOT range — range sampling would recompute the
         # whole scored plan twice); the pack kernel needs each
@@ -978,11 +993,12 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
         # Duplicate (term, doc) rows are summed inside the pack kernel (they
         # arrive adjacent), replacing a corpus-wide groupBy aggregation.
         packed = (
-            scored.repartition(num_partitions, "field", "term_id", "segment")
-            .sortWithinPartitions("field", "term_id", "segment", "doc_id", "pos")
+            scored.repartition(num_partitions, "fidx", "term_id", "segment")
+            .sortWithinPartitions("fidx", "term_id", "segment", "doc_id", "pos")
             .mapInPandas(_pack_partition_factory(index_dir, config.posting_block_docs,
                                                  segment_docs, nested_names,
-                                                 config.scoring, _load_field_stats(index_dir)),
+                                                 config.scoring, _load_field_stats(index_dir),
+                                                 field_names),
                          schema=_POSTING_SCHEMA)
         )
         # write the pack output directly — "segment" is a normal sorted
