@@ -346,6 +346,23 @@ class TestSkewSafety:
         assert all("array" not in f.dataType.simpleString()
                    for f in out.schema.fields)
 
+    def test_distinct_docs_giant_group_no_window(self, spark):
+        # 100k duplicates of ONE text must not land in a single window task:
+        # the plan uses groupBy (map-side partial agg) + semi-join, never a
+        # Window.partitionBy(text).
+        from veloci_spark.pipeline.dedup import distinct_docs
+
+        n = 100_000
+        df = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < n - 5, F.lit("hot boilerplate page"))
+            .otherwise(F.concat(F.lit("unique "), F.col("id"))).alias("text"))
+        out = distinct_docs(df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        got = sorted(r["doc_id"] for r in out.collect())
+        assert got == [0] + list(range(n - 5, n))
+
     def test_hot_shingle_is_excluded(self, spark):
         from veloci_spark.pipeline.dedup import ngram_jaccard_pairs
 

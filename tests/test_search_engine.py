@@ -198,6 +198,27 @@ class TestIdentityField:
         assert len(m) == 1
         assert m.iloc[0]["term_id"] == 7  # term_id ≡ doc_id for order column
 
+    def test_identity_leaf_top_applied(self, spark_index):
+        # per-leaf top on an identity leaf truncates matched VALUES to the
+        # best top+skip by (score DESC, doc_id DESC) — round-2 this was a
+        # silent no-op that returned everything.
+        from veloci_spark.search import search
+
+        base = {"search": {"terms": ["https://example.org/"],
+                           "path": "url", "starts_with": True}, "top": 100}
+        all_hits = search(spark_index, base)
+        assert len(all_hits["data"]) > 3
+        capped_req = {"search": {"terms": ["https://example.org/"],
+                                 "path": "url", "starts_with": True,
+                                 "top": 3}, "top": 100}
+        capped = search(spark_index, capped_req)
+        assert len(capped["data"]) == 3
+        # identical scores (prefix match) → doc_id DESC tie-break wins
+        want = sorted(all_hits["data"],
+                      key=lambda d: (-d["score"], -d["doc_id"]))[:3]
+        assert ([d["doc_id"] for d in capped["data"]]
+                == sorted((d["doc_id"] for d in want), reverse=True))
+
 
 # ---------------------------------------------------------------------------
 # golden ranking assertions (independent of both implementations)

@@ -103,6 +103,29 @@ class TestSqlTokenizeParity:
         sb = set(map(tuple, b.values.tolist()))
         assert sa == sb
 
+    def test_value_pair_rows_parity(self, spark):
+        # ROW MULTISETS must match — dedup is per VALUE in both engines, so
+        # the same pair in N sibling values yields exactly N rows from each.
+        from veloci_spark.build import value_pair_rows, value_pair_rows_sql
+        from veloci_spark.config import DEFAULT_SEPARATORS
+
+        vals = spark.createDataFrame(
+            [(0, 0, "alpha beta gamma"), (0, 1, "alpha beta delta"),
+             (0, 2, "alpha beta"),  # pair (alpha,beta) in 3 sibling values
+             (1, 0, "one two one two"),  # repeated within one value → 1 row
+             (1, 1, "one two"),
+             (2, 0, "solo")],
+            "doc_id long, pos int, value string")
+        a = value_pair_rows(vals, DEFAULT_SEPARATORS).toPandas()
+        b = value_pair_rows_sql(vals, DEFAULT_SEPARATORS).toPandas()
+        key = ["doc_id", "tok_a", "tok_b"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b[a.columns].sort_values(key).reset_index(drop=True)
+        assert a.equals(b), (a, b)
+        # per-value dedup: 3 sibling rows survive, within-value repeat doesn't
+        assert len(a[(a.doc_id == 0) & (a.tok_a == "alpha") & (a.tok_b == "beta")]) == 3
+        assert len(a[(a.doc_id == 1) & (a.tok_a == "one") & (a.tok_b == "two")]) == 2
+
     def test_value_entries_parity(self, spark):
         from veloci_spark.build import (value_token_entry_rows,
                                         value_token_entry_rows_sql)

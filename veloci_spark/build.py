@@ -468,7 +468,13 @@ def pair_rows_sql(docs: DataFrame, field: str, separators: str) -> DataFrame:
 
 
 def value_pair_rows_sql(values: DataFrame, separators: str) -> DataFrame:
-    """JVM twin of :func:`value_pair_rows` (pairs within each value)."""
+    """JVM twin of :func:`value_pair_rows` (pairs within each value).
+
+    Dedup is per VALUE (``_pairs_arr`` is array_distinct), NOT per doc — the
+    same pair in two sibling values yields two rows, identical to the Arrow
+    kernel (row-multiset parity-tested). No doc-level ``.distinct()``: it
+    would cost a shuffle here, and the query side treats phrase doc-id lists
+    as sets (np.isin), so cross-sibling duplicates are harmless."""
     r = _runs_col(F.col("value"), separators)
     return (
         values.select("doc_id", r.alias("r"))
@@ -476,7 +482,6 @@ def value_pair_rows_sql(values: DataFrame, separators: str) -> DataFrame:
         .select("doc_id", F.explode(_pairs_arr(F.col("r"), separators)).alias("p"))
         .select("doc_id", F.col("p.tok_a").alias("tok_a"),
                 F.col("p.tok_b").alias("tok_b"))
-        .distinct()
     )
 
 
@@ -530,7 +535,11 @@ def pair_rows(docs: DataFrame, field: str, separators: str) -> DataFrame:
 def value_pair_rows(values: DataFrame, separators: str) -> DataFrame:
     """Adjacent-pair rows over a (doc_id, pos, value) relation: pairs are
     formed WITHIN each value (never across sibling values — the reference's
-    token stream resets per text), deduped per doc."""
+    token stream resets per text) and deduped per VALUE — the same pair in
+    two sibling values yields two rows, the identical row multiset to
+    :func:`value_pair_rows_sql` under ANY input partitioning
+    (parity-tested). Query-side phrase matching is set-semantics (np.isin),
+    so cross-sibling duplicates never change results."""
     pattern = _runs_re(separators).pattern
 
     def pairs(iterator):
@@ -540,9 +549,6 @@ def value_pair_rows(values: DataFrame, separators: str) -> DataFrame:
         seps = _sep_set(separators)
         for pdf in iterator:
             ids_out, a_out, b_out = [], [], []
-            # values of a doc may span batches only if the upstream exploded
-            # rows were split — dedup per (doc, pair) within batch; the
-            # query-time grouping dedups the remainder
             for doc_id, text in zip(pdf["doc_id"].values, pdf["value"].values):
                 if not text:
                     continue
@@ -934,6 +940,10 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
         _write_checkpoint(index_dir, "dict-ids", 0, {"wall_sec": time.time() - t1})
         _mark_stage(index_dir, "dict", fp, wall_sec=time.time() - t0)
     term_dict = spark.read.parquet(dict_path)
+    # ONE count job serves the two broadcast-threshold checks and the
+    # manifest (was three separate jobs — measurable fixed overhead per
+    # build; parquet count() is metadata-only but still schedules a job).
+    n_terms = term_dict.count()
 
     # ---- stage: postings -------------------------------------------------
     postings_path = os.path.join(index_dir, "postings")
@@ -962,7 +972,7 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
 
         dict_side = term_dict.select("field", "term", "term_id",
                                      "num_occurences", "doc_freq")
-        if term_dict.count() <= 2_000_000:
+        if n_terms <= 2_000_000:
             # dictionaries up to ~150 MB broadcast (no shuffle — measured 3×
             # faster than the sort-merge join of the full entry stream);
             # beyond that the driver round-trip loses and the join shuffles
@@ -1031,7 +1041,7 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
                 tt = tt.unionByName(
                     storable_texts(fc).select("field", "term", "doc_id", "pos"))
         tt_dict = term_dict.select("field", "term", "term_id")
-        if term_dict.count() <= 2_000_000:
+        if n_terms <= 2_000_000:
             tt_dict = F.broadcast(tt_dict)
         (
             tt.join(tt_dict, on=["field", "term"])
@@ -1087,7 +1097,6 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
         _mark_stage(index_dir, "phrase", fp, wall_sec=time.time() - t0)
 
     # ---- manifest --------------------------------------------------------
-    n_terms = term_dict.count()
     n_segments = int(n_docs // segment_docs) + 1
     manifest = {
         "version": LAYOUT_VERSION,

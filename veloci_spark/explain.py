@@ -23,9 +23,14 @@ def _doc_leaf_entries(index, leaves, doc_ids):
     """(doc_id, leaf_id) → list of (term, term_score, stored_u32, final_f32)
     from the postings of the matched dictionary terms (identity leaves are
     resolved against the doc store)."""
-    from veloci_spark.search import IDENTITY_STORED, _identity_scores
+    from veloci_spark.search import (IDENTITY_STORED, _identity_scores,
+                                     _stored_to_f32)
     from veloci_spark.vbyte import unpack_postings
 
+    # bm25 indexes skip the f16 read quantization in the kernel
+    # (search.py quantize_f16 flag) — mirror it here or bm25 stored scores
+    # > 2048 would break the exact-equality invariant of the steps.
+    quantize_f16 = index.manifest.get("scoring", "veloci") == "veloci"
     segment_docs = index.manifest["segment_docs"]
     segs = sorted({d // segment_docs for d in doc_ids})
     want = np.array(sorted(doc_ids), dtype=np.int64)
@@ -56,7 +61,8 @@ def _doc_leaf_entries(index, leaves, doc_ids):
                 continue
             for leaf_id, term, tscore in tid_rows[(r["field"], int(r["term_id"]))]:
                 for d, s in zip(docs[present], stored[present]):
-                    fin = _F32(tscore * (np.float16(s).astype(_F32) / _F32(100.0)))
+                    fin = _F32(tscore * _stored_to_f32(
+                        np.array([s], dtype=np.uint32), quantize_f16)[0])
                     out.setdefault((int(d), leaf_id), []).append(
                         (term, float(tscore), int(s), float(fin)))
 

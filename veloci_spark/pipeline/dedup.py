@@ -77,11 +77,28 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
 
 def distinct_docs(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
-    """Keep one doc (min id) per distinct text — the dedup *apply* step."""
-    w = Window.partitionBy(text_col).orderBy(id_col)
+    """Keep one doc (min id) per distinct text — the dedup *apply* step.
+
+    Shape: groupBy(text-hash, text).min(id) + broadcast-eligible semi-join
+    back on (hash, id) — the same skew-safe plan as
+    :func:`exact_duplicates`. NOT ``Window.partitionBy(text)``: a window
+    funnels every duplicate of one text into a single task, so one
+    10M-duplicate boilerplate page becomes one straggler partition; the
+    groupBy's map-side partial aggregation collapses duplicates before the
+    shuffle instead. The semi-join keys on (xxhash64(text), min-id) — a
+    doc's id is unique, so a hash collision cannot select a wrong row.
+    """
+    h = F.xxhash64(F.col(text_col))
+    keep = (
+        docs.groupBy(h.alias("_kh"), F.col(text_col).alias("_t"))
+        .agg(F.min(id_col).alias("_keep_id"))
+        .select("_kh", "_keep_id")
+    )
+    with_h = docs.withColumn("_th", h)
     return (
-        docs.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1).drop("_rn")
+        with_h.join(keep, on=[with_h[id_col] == keep["_keep_id"],
+                              with_h["_th"] == keep["_kh"]], how="left_semi")
+        .drop("_th")
     )
 
 
@@ -338,11 +355,18 @@ def simhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
 def ngram_jaccard_pairs(docs: DataFrame, *, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.5,
-                        max_shingle_df: int | None = 10_000) -> DataFrame:
+                        max_shingle_df: int | None = 1_000) -> DataFrame:
     """Exact Jaccard over word n-gram shingle sets for pairs sharing ≥1
     shingle: |A∩B| from the inverted join, |A|,|B| from per-doc counts —
     pure joins + aggregations, fully JVM-side. Shingles in more than
-    ``max_shingle_df`` docs are excluded (hot-key quadratic-join guard)."""
+    ``max_shingle_df`` docs are excluded (hot-key quadratic-join guard;
+    default 1k → ≤ ~5·10⁵ join rows per maximal shingle).
+
+    This operator is EXACT but inherently quadratic per shared shingle —
+    use it for verification and modest corpora. The 100 TB path is
+    :func:`near_duplicates` (MinHash+LSH): linear in docs, probabilistic
+    recall ≈ 1, and its candidate pairs can be re-checked with this exact
+    Jaccard on the (tiny) candidate set."""
     sh = _filter_hot_shingles(shingle_df(docs, text_col, id_col, n),
                               max_shingle_df).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))

@@ -188,11 +188,15 @@ def match_terms(index: FulltextIndex, field: str, term: str, *,
 
     # cap the driver collect (same 100k bound as the identity path): a
     # match-everything regex over a >2M-term dictionary must not stream the
-    # whole dictionary to the driver. Past the cap, matched terms beyond the
-    # first 100k dictionary hits are dropped (documented approximation; the
-    # per-leaf `top` truncation below keeps at most top+skip anyway).
+    # whole dictionary to the driver. Past the cap, matched terms with the
+    # LOWEST term_ids win (orderBy before limit → TakeOrderedAndProject, a
+    # bounded per-partition top-N): deterministic across runs and cluster
+    # layouts, unlike a bare limit() whose surviving subset is
+    # Spark-placement-dependent. Documented approximation; the per-leaf
+    # `top` truncation below keeps at most top+skip anyway.
     dict_match_cap = 100_000
-    rows = cand.select("term", "term_id").limit(dict_match_cap).toPandas()
+    rows = (cand.select("term", "term_id").orderBy("term_id")
+            .limit(dict_match_cap).toPandas())
     if rows.empty:
         return pd.DataFrame(columns=["term", "term_id", "distance", "prefix", "score"])
     tl = rows["term"].str.lower()
@@ -893,8 +897,10 @@ def _identity_leaf_rows(index: FulltextIndex, leaf) -> DataFrame:
     UDF, docs grouped by (segment, score) — few distinct scores (one per
     matched distance) so the grouped rows are compact doc-id arrays.
 
-    Known limitation: per-leaf ``top`` truncation of matched terms is not
-    applied on this path (the query generator never sets it on leaves)."""
+    Per-leaf ``top`` truncates the matched VALUES to the best top+skip by
+    (term score DESC, term_id DESC) — and on an identity field term_id ≡
+    doc_id, so the order matches :func:`_match_identity` exactly. The
+    truncation is a distributed TakeOrderedAndProject (bounded collect)."""
     fc = index.fields[leaf.field]
     lower = leaf.term.lower()
     n_chars = max(len(lower), 1)
@@ -912,7 +918,7 @@ def _identity_leaf_rows(index: FulltextIndex, leaf) -> DataFrame:
                                           is_regex))
 
     score_col = ident_score(F.col("value"))
-    return (
+    scored = (
         index.docs.select("doc_id", F.col(leaf.field).alias("value"))
         .where(F.col("value").isNotNull())
         .where(F.octet_length("value") <= fc["max_text_store_bytes"])
@@ -920,6 +926,13 @@ def _identity_leaf_rows(index: FulltextIndex, leaf) -> DataFrame:
         # NaN (= not selected) surfaces as either NaN or NULL depending on
         # the Arrow conversion — filter both
         .where(F.col("s").isNotNull() & ~F.isnan("s"))
+    )
+    leaf_top = leaf.opts.get("top")
+    if leaf_top is not None:
+        keep = int(leaf_top) + int(leaf.opts.get("skip", 0))
+        scored = scored.orderBy(F.desc("s"), F.desc("doc_id")).limit(keep)
+    return (
+        scored
         .withColumn("segment", (F.col("doc_id") / F.lit(segment_docs)).cast("int"))
         .groupBy("segment", "s")
         .agg(F.collect_list("doc_id").alias("doc_ids"))
@@ -1033,6 +1046,15 @@ def search(index: FulltextIndex, request: dict) -> dict:
     }
     if request.get("facets"):
         facets = {}
+        # for a selective query the hit set is the SMALL side of the
+        # hits⋈docs join — broadcast it so facet counting is a map-side
+        # hash join over the doc/value store instead of shuffling both
+        # sides (don't rely on AQE discovering it at runtime). Guarded by
+        # the materialized count: a match-everything query's hit set may
+        # be corpus-sized and must shuffle normally.
+        bhits = hits.select("doc_id")
+        if num_hits is not None and num_hits <= 1_000_000:
+            bhits = F.broadcast(bhits)
         for spec in request["facets"]:
             fld = spec["field"]
             ftop = spec.get("top", 10)
@@ -1040,8 +1062,8 @@ def search(index: FulltextIndex, request: dict) -> dict:
                 # 1:n facet (reference facet.rs:75-94): count VALUES of the
                 # hit docs — one value row per (doc, pos)
                 fc = (
-                    hits.join(index.values[fld].select("doc_id", "value"),
-                              on="doc_id")
+                    index.values[fld].select("doc_id", "value")
+                    .join(bhits, on="doc_id")
                     .groupBy("value").count()
                     .orderBy(F.desc("count"), F.asc("value"))
                     .limit(ftop).collect()
@@ -1049,7 +1071,8 @@ def search(index: FulltextIndex, request: dict) -> dict:
                 facets[fld] = [(r["value"], r["count"]) for r in fc]
             else:
                 fc = (
-                    hits.join(index.docs.select("doc_id", fld), on="doc_id")
+                    index.docs.select("doc_id", fld)
+                    .join(bhits, on="doc_id")
                     .groupBy(fld).count()
                     .orderBy(F.desc("count"), F.asc(fld))
                     .limit(ftop).collect()

@@ -32,6 +32,7 @@ Single-writer by construction — foreachBatch serializes batches.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -86,11 +87,11 @@ def ingest_batch(spark: SparkSession, df: DataFrame, config: IndexConfig,
         local = assign_doc_ids(df, config.order_col)
         with_ids = local.withColumn("_gid", F.col("doc_id") + F.lit(base)) \
             .drop("doc_id")
-    gen_config = IndexConfig(
-        fields=config.fields, doc_id_col="_gid", order_col=config.order_col,
-        segment_docs=config.segment_docs,
-        posting_block_docs=config.posting_block_docs,
-        tokenizer_engine=config.tokenizer_engine)
+    # replace() carries EVERY config field (scoring, num_segments,
+    # hot_term_df_ratio, future additions) — re-enumerating the constructor
+    # silently dropped scoring, so bm25-configured streams built
+    # veloci-scored generations.
+    gen_config = dataclasses.replace(config, doc_id_col="_gid")
     manifest = build_index(spark, with_ids, gen_config, d)
     rec = {"gen": gen_id, "base": base, "n_docs": manifest["n_docs"],
            "dir": d, "ts": time.time()}
@@ -145,14 +146,21 @@ class MultiIndex:
         Returns the reference result shape (data + num_hits fields)."""
         import numpy as np
 
-        from veloci_spark.search import _apply_anchor_boosts, _search_hits
+        from veloci_spark.search import (_apply_anchor_boosts,
+                                         _apply_post_locality, _search_hits)
 
         top = request.get("top", 10)
         skip = request.get("skip", 0)
         merged = None
         exact = True
         for _g, idx in self.indexes:
-            hits, plan, _leaves = _search_hits(idx, request, need_all=False)
+            hits, plan, leaves = _search_hits(idx, request, need_all=False)
+            # mirror search(): nested fields disable kernel locality and
+            # expect this post-pass — without it streamed nested indexes
+            # silently dropped the text_locality boost.
+            if plan.get("post_locality"):
+                hits = _apply_post_locality(idx, hits, leaves,
+                                            plan["scored_leaf_ids"])
             hits = _apply_anchor_boosts(idx, hits, request)
             exact = exact and plan.get("top") is None
             merged = hits if merged is None else merged.unionByName(hits)
@@ -195,11 +203,7 @@ def compact(spark: SparkSession, root_dir: str, config: IndexConfig) -> dict:
         docs = d if docs is None else docs.unionByName(d)
     new_id = max(g["gen"] for g in gens) + 1
     d = gen_dir(root_dir, new_id)
-    cfg = IndexConfig(
-        fields=config.fields, doc_id_col="doc_id", order_col=config.order_col,
-        segment_docs=config.segment_docs,
-        posting_block_docs=config.posting_block_docs,
-        tokenizer_engine=config.tokenizer_engine)
+    cfg = dataclasses.replace(config, doc_id_col="doc_id")
     manifest = build_index(spark, docs, cfg, d)
     rec = {"gen": new_id, "base": 0, "n_docs": manifest["n_docs"],
            "dir": d, "ts": time.time()}
