@@ -79,7 +79,9 @@ from veloci_spark.vbyte import delta_encode, vbyte_encode
 #       the token entry schema, per-value max-dedup in the pack kernel
 #   v4: postings written directly from the pack shuffle (segment = sorted
 #       column + row-group stats, no partitionBy re-shuffle)
-LAYOUT_VERSION = 4
+#   v5: multi-level nesting — pos is a packed long (62//depth bits per []
+#       level, DFS-ordered); values/ relations carry per-level pos_i columns
+LAYOUT_VERSION = 5
 
 # ---------------------------------------------------------------------------
 # stage bookkeeping
@@ -270,7 +272,7 @@ _ENTRY_SCHEMA = T.StructType([
 
 _VALUE_ENTRY_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
-    T.StructField("pos", T.IntegerType()),
+    T.StructField("pos", T.LongType()),
     T.StructField("token", T.StringType()),
     T.StructField("best_pos", T.IntegerType()),
     T.StructField("n_tokens", T.IntegerType()),
@@ -317,7 +319,7 @@ def value_token_entry_rows(values: DataFrame, separators: str) -> DataFrame:
                 cnt_out.extend(cnt.values())
             yield pd.DataFrame({
                 "doc_id": pd.Series(ids_out, dtype="int64"),
-                "pos": pd.Series(pos_out, dtype="int32"),
+                "pos": pd.Series(pos_out, dtype="int64"),
                 "token": pd.Series(tok_out, dtype="object"),
                 "best_pos": pd.Series(bp_out, dtype="int32"),
                 "n_tokens": pd.Series(ntok_out, dtype="int32"),
@@ -850,7 +852,7 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
             else:
                 tok_fn = token_entry_rows_sql if use_sql else token_entry_rows
                 parts.append(tok_fn(docs, fc.name, fc.separators)
-                             .withColumn("pos", F.lit(0))
+                             .withColumn("pos", F.lit(0).cast("long"))
                              .withColumn("field", F.lit(fc.name)))
         if parts:
             all_tokens = parts[0]
@@ -890,7 +892,7 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
             docs.select("doc_id", F.col(fc.name).cast("string").alias("term"))
             .where(F.col("term").isNotNull())
             .where(F.octet_length("term") <= fc.max_text_store_bytes)
-            .withColumn("pos", F.lit(0))
+            .withColumn("pos", F.lit(0).cast("long"))
             .withColumn("field", F.lit(fc.name))
         )
 

@@ -599,11 +599,114 @@ _HITS_SCHEMA = T.StructType([
 ])
 
 
+def _common_array_levels(path_a: str, path_b: str) -> int:
+    """Number of ``[]`` segments in the longest common SEGMENT prefix of two
+    field paths — the array levels whose positions the paths share.
+    ``meanings.ger[].text`` vs ``meanings.ger[].boost`` → 1 (siblings under
+    the same array element); ``texts[]`` vs ``ratings[]`` → 0 (independent
+    top-level arrays: only anchor-level association exists)."""
+    sa, sb = path_a.split("."), path_b.split(".")
+    k = 0
+    for a, b in zip(sa, sb):
+        if a != b:
+            break
+        if a.endswith("[]"):
+            k += 1
+    return k
+
+
+def _apply_value_boost(index: FulltextIndex, hits: DataFrame, spec: dict,
+                       leaves) -> DataFrame:
+    """Value-relative boost-by-indexed-subfield (reference BoostToAnchor,
+    plan_steps.rs:170-215 + boost.rs:255-281,421-456): a matched 1:n value
+    boosts its anchor by the value of a SIBLING subfield of the same array
+    element. Dataflow (all joins, no driver loop):
+
+    token hits of each scored nested leaf (tokentexts: doc → packed pos)
+      → decode the shared array-prefix positions (shift/mask, JVM-side)
+      → join the boost path's value relation on (doc, shared prefix)
+      → distinct (doc, boost-value id) pairs
+      → per doc: boost values sorted by pos, applied sequentially in f32
+        (the reference streams pairs in value-id order — same order).
+    """
+    from veloci_spark.nested import path_depth, pos_level_cols
+    from veloci_spark.scoring import boost_value_score, eval_boost_expression
+
+    bpath = spec["path"]
+    fun = spec.get("boost_fun", "Log10")
+    param = float(spec.get("param", 0.0))
+    expression = spec.get("expression")
+
+    pair_parts = []
+    for leaf in leaves or []:
+        if leaf.matched is None or leaf.field not in index.values:
+            continue
+        k = _common_array_levels(leaf.field, bpath)
+        if k == 0:
+            continue
+        tids = [int(t) for t in leaf.matched["term_id"]]
+        if not tids:
+            continue
+        ldepth = path_depth(leaf.field)
+        lvl = pos_level_cols(F.col("pos"), ldepth)[:k]
+        matched = (
+            index.tokentexts
+            .where((F.col("field") == leaf.field) & F.col("term_id").isin(tids))
+            .select("doc_id", *[lvl[i].alias(f"_k{i}") for i in range(k)])
+            .distinct()
+        )
+        bvals = index.values[bpath].select(
+            "doc_id", F.col("pos").alias("_bpos"),
+            F.col("value").cast("double").alias("_bv"),
+            *[F.col(f"pos_{i}").alias(f"_k{i}") for i in range(k)])
+        pair_parts.append(
+            matched.join(bvals, on=["doc_id"] + [f"_k{i}" for i in range(k)])
+            .select("doc_id", "_bpos", "_bv"))
+    if not pair_parts:
+        return hits
+    pairs = pair_parts[0]
+    for p in pair_parts[1:]:
+        pairs = pairs.unionByName(p)
+    # each boost VALUE applies once per anchor (dedup across leaves), values
+    # ordered by pos = the reference's value-id stream order
+    agg = (
+        pairs.dropDuplicates(["doc_id", "_bpos"])
+        .groupBy("doc_id")
+        .agg(F.transform(F.sort_array(F.collect_list(F.struct("_bpos", "_bv"))),
+                         lambda s: s["_bv"]).alias("_bvs"))
+    )
+
+    @F.pandas_udf("float")
+    def seq_boosted(score: pd.Series, bvs: pd.Series) -> pd.Series:
+        out = score.values.astype(_F32).copy()
+        for i, vs in enumerate(bvs.values):
+            if vs is None or len(vs) == 0:
+                continue
+            s = np.array([out[i]], dtype=_F32)
+            for v in vs:
+                if expression is not None:
+                    s = eval_boost_expression(
+                        expression, s, np.array([v], dtype=np.float64))
+                else:
+                    s = boost_value_score(
+                        s, np.array([v], dtype=np.float64), fun, param)
+            out[i] = s[0]
+        return pd.Series(out.astype(np.float32))
+
+    return (
+        hits.join(agg, on="doc_id", how="left")
+        .withColumn("score", seq_boosted(F.col("score"), F.col("_bvs")))
+        .drop("_bvs")
+    )
+
+
 def _apply_anchor_boosts(index: FulltextIndex, hits: DataFrame,
-                         request: dict) -> DataFrame:
-    """Boost-by-field (Q13): join the boost column from the doc store and
-    combine per the boost function / expression DSL — float32 pandas UDF.
-    Applied after the kernel, before the global ranking."""
+                         request: dict, leaves=None) -> DataFrame:
+    """Boost-by-field (Q13): join the boost column from the doc store (flat
+    anchor-level path) or through the value relation (nested sibling-subfield
+    path → :func:`_apply_value_boost`) and combine per the boost function /
+    expression DSL — float32 pandas UDF. Applied after the kernel, before
+    the global ranking."""
     from veloci_spark.scoring import boost_value_score, eval_boost_expression
 
     def make_udf(fun: str, param: float, expression):
@@ -620,6 +723,9 @@ def _apply_anchor_boosts(index: FulltextIndex, hits: DataFrame,
 
     for spec in request.get("boost", []):
         col = spec["path"]
+        if col in index.values:
+            hits = _apply_value_boost(index, hits, spec, leaves)
+            continue
         boosted = make_udf(spec.get("boost_fun", "Log10"),
                            float(spec.get("param", 0.0)), spec.get("expression"))
         boost_df = index.docs.select("doc_id", F.col(col).cast("double").alias("_bv"))
@@ -656,7 +762,7 @@ def _apply_post_locality(index: FulltextIndex, hits: DataFrame,
             group_parts.append(
                 irows.select(F.explode("doc_ids").alias("doc_id"))
                 .withColumn("field", F.lit(leaf.field))
-                .withColumn("pos", F.lit(0))
+                .withColumn("pos", F.lit(0).cast("long"))
                 .withColumn("tag", F.lit(leaf.tag)))
             continue
         tids = [int(t) for t in leaf.matched["term_id"]]
@@ -685,13 +791,13 @@ def _apply_post_locality(index: FulltextIndex, hits: DataFrame,
                             + int(seg) * segment_docs
                         outs.append(pd.DataFrame({
                             "field": _field, "doc_id": ids,
-                            "pos": np.zeros(len(ids), dtype=np.int32),
+                            "pos": np.zeros(len(ids), dtype=np.int64),
                             "tag": _tag}))
                     yield pd.concat(outs) if outs else pd.DataFrame(
                         {"field": [], "doc_id": [], "pos": [], "tag": []})
 
             group_parts.append(rows.mapInPandas(
-                decode, schema="field string, doc_id long, pos int, tag string"))
+                decode, schema="field string, doc_id long, pos long, tag string"))
     if not group_parts:
         return hits
     groups = group_parts[0]
@@ -729,7 +835,7 @@ def search_df(index: FulltextIndex, request: dict) -> DataFrame:
     if _plan.get("post_locality"):
         hits = _apply_post_locality(index, hits, _leaves,
                                     _plan["scored_leaf_ids"])
-    hits = _apply_anchor_boosts(index, hits, request)
+    hits = _apply_anchor_boosts(index, hits, request, _leaves)
     top = request.get("top", 10)
     skip = request.get("skip", 0)
     ranked = hits.orderBy(F.desc("score"), F.desc("doc_id"))
@@ -1027,7 +1133,7 @@ def search(index: FulltextIndex, request: dict) -> dict:
         hits = _apply_post_locality(index, hits, leaves,
                                     _plan["scored_leaf_ids"])
         need_all = True  # full hit set already materialized by the kernel
-    hits = _apply_anchor_boosts(index, hits, request)
+    hits = _apply_anchor_boosts(index, hits, request, leaves)
     top = request.get("top", 10)
     skip = request.get("skip", 0)
     if need_all:
@@ -1093,14 +1199,18 @@ def search(index: FulltextIndex, request: dict) -> dict:
             for r in rows:
                 by_id[r["doc_id"]].update({c: r[c] for c in flat_cols})
         for c in nested_cols:
-            # 1:n select: value array reconstructed in pos order (the
-            # reference read-tree, read_document.rs:8-59)
+            # 1:n select: value arrays reconstructed in DFS (pos) order,
+            # nested per [] level (the reference read-tree,
+            # read_document.rs:8-59)
             vrows = (
                 index.values[c].where(F.col("doc_id").isin(ids))
                 .orderBy("doc_id", "pos").collect()
             )
-            for r in vrows:
-                by_id[r["doc_id"]].setdefault(c, []).append(r["value"])
+            from itertools import groupby
+
+            depth = c.count("[]")
+            for did, g in groupby(vrows, key=lambda r: r["doc_id"]):
+                by_id[did][c] = _nest_value_rows(list(g), depth)
         for d in out["data"]:
             d["doc"] = by_id.get(d["doc_id"], {})
     if request.get("why_found"):
@@ -1233,7 +1343,25 @@ def read_data(index: FulltextIndex, doc_id: int,
                 .orderBy("pos").collect()
             )
             if vrows:
-                out[f] = [r["value"] for r in vrows]
+                out[f] = _nest_value_rows(vrows, f.count("[]"))
     if len(out) <= 1 and row is None:
         return None
     return out
+
+
+def _nest_value_rows(rows, depth: int, level: int = 0):
+    """Value rows (sorted by packed ``pos``) → nested python lists, one list
+    level per ``[]`` segment: depth 1 → ``[v, …]``, depth 2 → ``[[v, …], …]``.
+    Grouping keys are the stored per-level ``pos_i`` columns; absent
+    intermediate elements (null arrays emit no rows) are skipped, matching
+    the visitor's nothing-for-missing behavior."""
+    if depth <= 1:
+        return [r["value"] for r in rows]
+    from itertools import groupby
+
+    if level == depth - 1:
+        return [r["value"] for r in rows]
+    return [
+        _nest_value_rows(list(g), depth, level + 1)
+        for _, g in groupby(rows, key=lambda r: r[f"pos_{level}"])
+    ]

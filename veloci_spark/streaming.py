@@ -161,7 +161,7 @@ class MultiIndex:
             if plan.get("post_locality"):
                 hits = _apply_post_locality(idx, hits, leaves,
                                             plan["scored_leaf_ids"])
-            hits = _apply_anchor_boosts(idx, hits, request)
+            hits = _apply_anchor_boosts(idx, hits, request, leaves)
             exact = exact and plan.get("top") is None
             merged = hits if merged is None else merged.unionByName(hits)
         if merged is None:
