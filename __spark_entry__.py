@@ -108,7 +108,12 @@ NESTED_GROUP = 10  # docs per synthetic parent for the nested-corpus entries
 def _nested_config() -> IndexConfig:
     return IndexConfig(
         fields=(FieldConfig("texts[]"),
-                FieldConfig("langs[]", tokenize=False, phrase_pairs=False)),
+                FieldConfig("langs[]", tokenize=False, phrase_pairs=False),
+                # members[]: shared-parent array of structs — text + sibling
+                # numeric rating, exercised by the value-relative boost entry
+                FieldConfig("members[].text"),
+                FieldConfig("members[].rating", tokenize=False,
+                            phrase_pairs=False, token_texts=False)),
         doc_id_col="doc_id",
         segment_docs=64,
     )
@@ -117,7 +122,9 @@ def _nested_config() -> IndexConfig:
 def _nested_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic nested corpus derived from the documents table: parent
     doc = 10 consecutive docs; texts[]/langs[] arrays ordered by member
-    doc_id (1:n value semantics, SURVEY.md B10)."""
+    doc_id (1:n value semantics, SURVEY.md B10). ``members`` pairs each
+    member text with rating = 1 + member_id % 2 (powers-of-two boost values
+    keep f32 products exact for the boost-ratio oracle)."""
     docs = _documents(spark, sf_dir)
     return (
         docs.groupBy((F.col("doc_id") / NESTED_GROUP).cast("long").alias("doc_id"))
@@ -126,8 +133,63 @@ def _nested_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.transform("_m", lambda m: m["text"]).alias("texts"),
-            F.transform("_m", lambda m: m["lang"]).alias("langs"))
+            F.transform("_m", lambda m: m["lang"]).alias("langs"),
+            F.transform("_m", lambda m: F.struct(
+                m["text"].alias("text"),
+                (F.lit(1) + m["doc_id"] % 2).cast("long").alias("rating")))
+            .alias("members"))
     )
+
+
+NESTED2_GROUP = 100  # docs per level-2 parent (10 subs × 10 members)
+
+
+def _nested2_config() -> IndexConfig:
+    return IndexConfig(
+        fields=(FieldConfig("sub[].texts[]"),),
+        doc_id_col="doc_id",
+        segment_docs=8,
+    )
+
+
+def _nested2_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level nested corpus: parent = 100 consecutive docs, split into 10
+    subs of 10 members — ``sub[].texts[]`` with pos_0 = (doc_id//10)%10,
+    pos_1 = doc_id%10 (multi-level [] depth, SURVEY.md B10 generalized)."""
+    docs = _documents(spark, sf_dir)
+    subs = (
+        docs.groupBy((F.col("doc_id") / NESTED_GROUP).cast("long").alias("sub_id"))
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "text"))).alias("_m"))
+        .select("sub_id",
+                F.transform("_m", lambda m: m["text"]).alias("texts"))
+    )
+    return (
+        subs.groupBy((F.col("sub_id") / NESTED_GROUP).cast("long").alias("doc_id"))
+        .agg(F.array_sort(F.collect_list(F.struct("sub_id", "texts"))).alias("_s"))
+        .select("doc_id",
+                F.transform("_s", lambda s: F.struct(s["texts"].alias("texts")))
+                .alias("sub"))
+    )
+
+
+def _get_nested2_index(spark: SparkSession, sf_dir: str):
+    from veloci_spark.build import build_index, index_fingerprint
+    from veloci_spark.search import FulltextIndex
+
+    data_fp = _data_fingerprint(f"{sf_dir}/documents.parquet")
+    cfg = _nested2_config()
+    fp = index_fingerprint(cfg, data_fp + "|nested2")
+    key = hashlib.md5(f"{sf_dir}|{fp}".encode()).hexdigest()[:10]
+    with _IDX_LOCK:
+        if key in _IDX_CACHE:
+            return _IDX_CACHE[key]
+        index_dir = f"/tmp/veloci_entry_n2idx_{key}"
+        os.makedirs(index_dir, exist_ok=True)
+        build_index(spark, _nested2_docs(spark, sf_dir), cfg, index_dir,
+                    input_fingerprint=data_fp + "|nested2")
+        idx = FulltextIndex(spark, index_dir)
+        _IDX_CACHE[key] = idx
+        return idx
 
 
 def _get_bm25_index(spark: SparkSession, sf_dir: str):
@@ -466,6 +528,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .distinct().orderBy("doc_id", "pos")
         )
 
+    def ft_nested2_search_ids(spark, sf_dir):
+        # B10 generalized: term search through TWO [] levels → anchor ids
+        idx = _get_nested2_index(spark, sf_dir)
+        return _engine_hits_df_for(idx, {
+            "search": {"terms": ["spark"], "path": "sub[].texts[]"}})
+
+    def ft_nested2_tokentexts(spark, sf_dir):
+        # Q7 at depth 2: token → (anchor, pos_0, pos_1) through the packed
+        # value identity (pos_level_cols decode)
+        from veloci_spark.nested import pos_level_cols
+
+        idx = _get_nested2_index(spark, sf_dir)
+        tid = (idx.dict_df
+               .where((F.col("field") == "sub[].texts[]")
+                      & (F.col("term") == "query"))
+               .select("term_id").first())
+        if tid is None:
+            return spark.createDataFrame(
+                [], "doc_id long, pos_0 long, pos_1 long")
+        lv = pos_level_cols(F.col("pos"), 2)
+        return (
+            idx.tokentexts
+            .where((F.col("field") == "sub[].texts[]")
+                   & (F.col("term_id") == tid[0]))
+            .select(F.col("doc_id").cast("long"),
+                    lv[0].cast("long").alias("pos_0"),
+                    lv[1].cast("long").alias("pos_1"))
+            .distinct().orderBy("doc_id", "pos_0", "pos_1")
+        )
+
+    def ft_nested_boost(spark, sf_dir):
+        # value-relative boost (reference BoostToAnchor): a matched
+        # members[].text value multiplies its anchor score by the SAME
+        # element's rating. Output = boosted/unboosted ratio per anchor —
+        # ratings are 1 or 2, so the f32 ratio is an exact power of two
+        # (= product of matched elements' ratings).
+        from veloci_spark.search import search
+
+        idx = _get_nested_index(spark, sf_dir)
+        req = {"search": {"terms": ["spark"], "path": "members[].text"},
+               "top": 1_000_000}
+        base = search(idx, req)
+        boosted = search(idx, {
+            **req,
+            "boost": [{"path": "members[].rating", "boost_fun": "Multiply"}]})
+        b0 = {d["doc_id"]: d["score"] for d in base["data"]}
+        rows = sorted(
+            (int(d["doc_id"]), int(round(d["score"] / b0[d["doc_id"]])))
+            for d in boosted["data"])
+        return spark.createDataFrame(rows or [], "doc_id long, ratio long")
+
     def dd_exact_groups(spark, sf_dir):
         return dd.exact_duplicates(_documents(spark, sf_dir)).select(
             F.col("canonical_id").cast("long"), F.col("doc_id").cast("long"))
@@ -591,6 +704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_nested_search_ids": ft_nested_search_ids,
         "ft_nested_facet_lang": ft_nested_facet_lang,
         "ft_nested_tokentexts": ft_nested_tokentexts,
+        "ft_nested2_search_ids": ft_nested2_search_ids,
+        "ft_nested2_tokentexts": ft_nested2_tokentexts,
+        "ft_nested_boost": ft_nested_boost,
         "dd_exact_groups": dd_exact_groups,
         "dd_distinct_keep": dd_distinct_keep,
         "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -770,6 +886,52 @@ SELECT DISTINCT doc_id, pos FROM (
   SELECT doc_id // {NESTED_GROUP}, doc_id % {NESTED_GROUP} FROM documents
   WHERE octet_length(encode(text)) <= 64 AND text = 'query'
 ) ORDER BY doc_id, pos
+"""
+
+    # 2-level corpus twin: parent = doc_id // 100, pos_0 = (doc_id//10)%10,
+    # pos_1 = doc_id%10 — identical derivation to _nested2_docs
+    sql["ft_nested2_search_ids"] = f"""
+WITH {runs}
+SELECT DISTINCT doc_id FROM (
+  SELECT doc_id // {NESTED2_GROUP} AS doc_id FROM runs WHERE tok = 'spark'
+  UNION ALL
+  SELECT doc_id // {NESTED2_GROUP} FROM documents
+  WHERE octet_length(encode(text)) <= 64 AND lower(text) = 'spark'
+) ORDER BY doc_id
+"""
+
+    sql["ft_nested2_tokentexts"] = f"""
+WITH {runs}
+SELECT DISTINCT doc_id, pos_0, pos_1 FROM (
+  SELECT doc_id // {NESTED2_GROUP} AS doc_id,
+         (doc_id // {NESTED_GROUP}) % {NESTED_GROUP} AS pos_0,
+         doc_id % {NESTED_GROUP} AS pos_1
+  FROM runs WHERE tok = 'query'
+  UNION ALL
+  SELECT doc_id // {NESTED2_GROUP},
+         (doc_id // {NESTED_GROUP}) % {NESTED_GROUP},
+         doc_id % {NESTED_GROUP} FROM documents
+  WHERE octet_length(encode(text)) <= 64 AND text = 'query'
+) ORDER BY doc_id, pos_0, pos_1
+"""
+
+    # value-relative boost ratio = product of ratings (1 + member_id % 2)
+    # over the DISTINCT matched member elements of each parent
+    sql["ft_nested_boost"] = f"""
+WITH {runs},
+matched AS (
+  SELECT DISTINCT doc_id // {NESTED_GROUP} AS parent,
+                  doc_id % {NESTED_GROUP} AS pos
+  FROM (
+    SELECT doc_id FROM runs WHERE tok = 'spark'
+    UNION ALL
+    SELECT doc_id FROM documents
+    WHERE octet_length(encode(text)) <= 64 AND lower(text) = 'spark'
+  )
+)
+SELECT parent AS doc_id,
+       CAST(product(1 + (parent * {NESTED_GROUP} + pos) % 2) AS BIGINT) AS ratio
+FROM matched GROUP BY parent ORDER BY doc_id
 """
 
     sql["dd_exact_groups"] = """

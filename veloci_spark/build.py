@@ -430,10 +430,14 @@ def token_entry_rows_sql(docs: DataFrame, field: str, separators: str) -> DataFr
 
 
 def value_token_entry_rows_sql(values: DataFrame, separators: str) -> DataFrame:
-    """JVM twin of :func:`value_token_entry_rows` (nested 1:n values)."""
+    """JVM twin of :func:`value_token_entry_rows` (nested 1:n values).
+
+    ``pos`` is cast to long to match the Arrow kernel's schema — the packed
+    multi-level value identity needs 64 bits (nested.py pack_pos)."""
     r = _runs_col(F.col("value"), separators)
     base = (
-        values.select("doc_id", "pos", r.alias("r"))
+        values.select("doc_id", F.col("pos").cast("long").alias("pos"),
+                      r.alias("r"))
         .where(F.size("r") >= 2)
         .select("doc_id", "pos", F.size("r").alias("n_tokens"),
                 F.explode(_token_entries_arr(F.col("r"))).alias("e"))
