@@ -665,6 +665,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out = df if out is None else out.unionByName(df)
         return out.orderBy("query_id", "rank")
 
+    def sim_ivf_recall(spark, sf_dir):
+        # IVF ANN in its REAL regime: nprobe=4 < ncells=16, over the
+        # cell-partitioned parquet layout (ivf_write → ivf_load, so probes
+        # prune whole files, not just rows). The testdata embeddings are
+        # near-orthogonal, so the corpus is augmented with 10 deterministic
+        # twins per query (ids 200000+qid*100+j, strength 0.02·j → cosine
+        # 0.98..0.9998): brute-force top-10 = self + twins j=1..9, and the
+        # oracle demands IVF recover it RANK FOR RANK while scanning only
+        # 4/16 cells — recall 1.0 on planted structure, a real ANN gate.
+        import numpy as np
+
+        emb = _embeddings(spark, sf_dir).select(
+            "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("embedding"))
+        pert = (
+            emb.where(F.col("vec_id") < 5)
+            .select("vec_id", "embedding",
+                    F.explode(F.expr("sequence(1, 10)")).alias("j"))
+            .select(
+                (F.lit(200000) + F.col("vec_id") * 100 + F.col("j"))
+                .alias("vec_id"),
+                F.expr("transform(embedding, (x, i) -> x + (0.02D * j) * "
+                       "element_at(embedding, ((i + 1) % size(embedding)) + 1))"
+                       ).alias("embedding")))
+        corpus = emb.unionByName(pert)
+        assigned, centroids = sim.ivf_build(corpus, ncells=16)
+        data_fp = _data_fingerprint(f"{sf_dir}/embeddings.parquet")
+        ivf_dir = f"/tmp/veloci_entry_ivf_{hashlib.md5(data_fp.encode()).hexdigest()[:10]}"
+        sim.ivf_write(assigned, ivf_dir)
+        stored = sim.ivf_load(spark, ivf_dir)
+        qs = {r["vec_id"]: r["embedding"]
+              for r in emb.where(F.col("vec_id") < 5).collect()}
+        rows = []
+        for qid in sorted(qs):
+            pdf = sim.ivf_topk(stored, centroids,
+                               np.asarray(qs[qid], dtype=np.float64),
+                               k=10, nprobe=4).select("vec_id").toPandas()
+            rows += [(qid, int(v), i + 1) for i, v in enumerate(pdf["vec_id"])]
+        return spark.createDataFrame(rows, "query_id long, vec_id long, rank long")
+
     def ts_quality(spark, sf_dir):
         return ts.quality_scores(_documents(spark, sf_dir)).select(
             F.col("doc_id").cast("long"),
@@ -714,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash_pairs": dd_simhash_pairs,
         "sim_cosine_topk": sim_cosine_topk,
         "sim_ivf_topk": sim_ivf_topk,
+        "sim_ivf_recall": sim_ivf_recall,
         "sim_embedding_neardup": sim_embedding_neardup,
         "ts_quality": ts_quality,
         "ts_token_counts": ts_token_counts,
@@ -1073,6 +1113,35 @@ scored AS (
   SELECT q.query_id, c.vec_id,
          list_cosine_similarity(c.cv, q.qv) AS cosine
   FROM c CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+    # brute-force top-10 over the twin-augmented corpus (same bit-identical
+    # DOUBLE perturbation as the Spark side) — IVF at nprobe=4/ncells=16
+    # must match rank for rank
+    sql["sim_ivf_recall"] = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+twins AS (
+  SELECT 200000 + b.vec_id * 100 + t.j AS vec_id,
+         list_transform(range(len(e)),
+                        i -> e[i + 1] + (0.02 * t.j) * e[((i + 1) % len(e)) + 1]) AS e
+  FROM base b, range(1, 11) t(j)
+  WHERE b.vec_id < 5
+),
+v AS (SELECT vec_id, e FROM base UNION ALL SELECT vec_id, e FROM twins),
+q AS (SELECT vec_id AS query_id, e AS qv FROM base WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+         list_cosine_similarity(v.e, q.qv) AS cosine
+  FROM v CROSS JOIN q
 ),
 ranked AS (
   SELECT query_id, vec_id,

@@ -214,6 +214,57 @@ class TestSimilarity:
         # probing half the cells must recover most of the true top-10
         assert len(exact & approx) >= 6
 
+    def test_ivf_layout_probe_prunes_files(self, embeddings, tmp_path):
+        # the 100TB claim behind IVF: the cell-partitioned parquet layout
+        # turns a probe into PARTITION PRUNING — only the probed cells'
+        # files are opened, verified against the physical scan plan and the
+        # actual input-file set
+        from veloci_spark.pipeline.similarity import ivf_build, ivf_load, ivf_write
+
+        spark = embeddings.sparkSession
+        assigned, _ = ivf_build(embeddings, ncells=8)
+        path = str(tmp_path / "ivf")
+        ivf_write(assigned, path)
+        stored = ivf_load(spark, path)
+        probed = stored.where(F.col("cell").isin([0, 1]))
+
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cell" in plan
+
+        all_files = set(stored.select(F.input_file_name()).distinct()
+                        .toPandas().iloc[:, 0])
+        probed_files = set(probed.select(F.input_file_name()).distinct()
+                           .toPandas().iloc[:, 0])
+        assert probed_files and probed_files < all_files
+        assert all(f"/cell={c}/" in f for f in probed_files for c in [0, 1]
+                   if f"/cell={c}/" in f)  # every probed file is a cell dir
+        assert all(any(f"/cell={c}/" in f for c in [0, 1])
+                   for f in probed_files)
+
+    def test_ivf_recall_gate_planted(self, embeddings):
+        # recall@10 at nprobe < ncells on planted structure: 10 near-twins
+        # per query must be recovered through 4/16-cell pruning (≥0.9 gate)
+        from veloci_spark.pipeline.similarity import ivf_recall
+
+        emb = embeddings.select(
+            "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("embedding"))
+        pert = (
+            emb.where(F.col("vec_id") < 3)
+            .select("vec_id", "embedding",
+                    F.explode(F.expr("sequence(1, 10)")).alias("j"))
+            .select((F.lit(200000) + F.col("vec_id") * 100 + F.col("j"))
+                    .alias("vec_id"),
+                    F.expr("transform(embedding, (x, i) -> x + (0.02D * j) * "
+                           "element_at(embedding, ((i + 1) % size(embedding)) + 1))"
+                           ).alias("embedding")))
+        corpus = emb.unionByName(pert)
+        queries = [(r["vec_id"], r["embedding"])
+                   for r in emb.where(F.col("vec_id") < 3).collect()]
+        got = ivf_recall(corpus, queries, k=10, ncells=16, nprobe=4)
+        assert len(got) == 3
+        for qid, n in got:
+            assert n >= 9, f"query {qid} recall {n}/10 below 0.9 gate"
+
     def test_embedding_near_duplicates(self, spark):
         from veloci_spark.pipeline.dedup import embedding_near_duplicates
 

@@ -98,22 +98,28 @@ def _kmeans(sample: np.ndarray, ncells: int, iters: int = 10, seed: int = 3) -> 
     return centroids
 
 
-def ivf_build(emb: DataFrame, *, ncells: int = 16, sample_frac: float = 1.0,
+def ivf_build(emb: DataFrame, *, ncells: int = 16,
               id_col: str = "vec_id", vec_col: str = "embedding",
               seed: int = 3, max_sample_rows: int = 100_000):
     """Assign every vector to its nearest of ``ncells`` k-means centroids.
     Returns (assigned DataFrame with ``cell`` column, centroids ndarray).
-    At scale: write ``assigned.write.partitionBy("cell")`` so probes prune.
+    At scale: write via :func:`ivf_write` so probes prune whole files.
 
-    The k-means sample collected to the driver is hard-capped at
-    ``max_sample_rows`` regardless of ``sample_frac`` — centroid quality
-    saturates long before 100k points, and an uncapped collect of a
-    100 TB corpus's embeddings would kill the driver."""
+    The k-means sample is the ``max_sample_rows`` rows with the smallest
+    ``xxhash64(id, seed)`` — a uniform pseudo-random subset that is
+    DETERMINISTIC across partition layouts and cluster sizes (a plain
+    ``.sample().collect()`` returns rows in partition order, which would
+    make the centroids — and therefore cell recall — depend on the file
+    layout). ``orderBy(hash).limit(n)`` executes as TakeOrdered (top-n per
+    partition + driver merge), never a full sort; the driver collect is
+    hard-capped at ``max_sample_rows`` — centroid quality saturates long
+    before 100k points, and an uncapped collect of a 100 TB corpus's
+    embeddings would kill the driver."""
     sample = np.vstack([
         np.asarray(r["v"], dtype=np.float64)
-        for r in emb.select(F.col(vec_col).alias("v"))
-                    .sample(fraction=sample_frac, seed=seed)
-                    .limit(max_sample_rows).collect()
+        for r in emb.select(F.col(vec_col).alias("v"),
+                            F.xxhash64(F.col(id_col), F.lit(seed)).alias("h"))
+                    .orderBy("h").limit(max_sample_rows).collect()
     ])
     centroids = _kmeans(sample, ncells, seed=seed)
 
