@@ -371,3 +371,112 @@ class TestResumeValidation:
             json.dump(m, f)
         with _pytest.raises(ValueError, match="layout version"):
             FulltextIndex(spark, d)
+
+
+class TestWandOr:
+    """Multi-leaf OR WAND (_wand_or_segment): exact vs eval_tree, and rows
+    whose upper bound cannot reach the kth score are never decoded."""
+
+    @staticmethod
+    def _row(leaf_id, term_score, ids, stored):
+        from veloci_spark.vbyte import pack_postings
+
+        ids = np.asarray(ids, dtype=np.int64)
+        stored = np.asarray(stored, dtype=np.uint32)
+        docs_bin, scores_bin = pack_postings(ids, stored)
+        return {"leaf_id": leaf_id, "term_score": float(term_score),
+                "max_score": int(stored.max()), "docs_bin": docs_bin,
+                "scores_bin": scores_bin}
+
+    @staticmethod
+    def _brute_topk(g, tag_of_leaf, k):
+        import pandas as pd
+
+        from veloci_spark import search as S
+
+        leaf_hits = {}
+        for leaf_id, rr in g.groupby("leaf_id"):
+            all_i, all_s = [], []
+            for _, r in rr.iterrows():
+                ids, stored = S.unpack_postings(r["docs_bin"], r["scores_bin"])
+                all_i.append(ids)
+                all_s.append((np.float32(r["term_score"])
+                              * S._stored_to_f32(stored, True)).astype(np.float32))
+            leaf_hits[leaf_id] = S._dedup_max(np.concatenate(all_i),
+                                              np.concatenate(all_s))
+        children = [{"op": "leaf", "leaf_id": l, "tag": t, "boost": None}
+                    for l, t in sorted(tag_of_leaf.items())]
+        ids, sc = S.eval_tree({"op": "or", "children": children}, leaf_hits)
+        order = np.lexsort((-ids, -sc.astype(np.float64)))[:k]
+        return list(zip(ids[order].tolist(), sc[order].tolist()))
+
+    def test_prunes_low_rows_exactly(self, monkeypatch):
+        import pandas as pd
+
+        from veloci_spark import search as S
+
+        rows = [self._row(0, 1.0, range(10), [4000] * 10),
+                self._row(0, 1.0, range(10, 20), [4000] * 10),
+                self._row(1, 1.0, range(10), [4000] * 10),
+                self._row(1, 1.0, range(10, 20), [4000] * 10),
+                # low-upper rows: must be skipped, their exclusive docs lost
+                # only BELOW the kth score
+                self._row(0, 1.0, range(100, 140), [1] * 40),
+                self._row(1, 1.0, range(150, 190), [2] * 40)]
+        g = pd.DataFrame(rows)
+        want = self._brute_topk(g, {0: "a", 1: "b"}, 5)
+
+        calls = {"n": 0}
+        real = S.unpack_postings
+
+        def counting(a, b):
+            calls["n"] += 1
+            return real(a, b)
+
+        monkeypatch.setattr(S, "unpack_postings", counting)
+        gi, gs = S._wand_or_segment(g, {0: 0, 1: 1}, 2, 5, 0, 256)
+        assert list(zip(gi.tolist(), gs.tolist())) == want
+        assert calls["n"] == 4  # the two low rows were never decoded
+
+    def test_randomized_equality(self):
+        import pandas as pd
+
+        from veloci_spark import search as S
+
+        for seed in range(6):
+            rng = np.random.RandomState(seed)
+            rows = []
+            n_leaves = int(rng.randint(2, 5))
+            for leaf in range(n_leaves):
+                for _ in range(int(rng.randint(1, 7))):
+                    n = int(rng.randint(3, 60))
+                    ids = np.sort(rng.choice(256, size=n, replace=False))
+                    stored = rng.randint(1, 5000, size=n)
+                    rows.append(self._row(leaf, rng.uniform(0.1, 1.0),
+                                          ids, stored))
+            g = pd.DataFrame(rows)
+            tag_of_leaf = {l: chr(ord("a") + l) for l in range(n_leaves)}
+            k = int(rng.randint(1, 12))
+            want = self._brute_topk(g, tag_of_leaf, k)
+            gi, gs = S._wand_or_segment(
+                g, {l: i for i, l in enumerate(sorted(tag_of_leaf))},
+                n_leaves, k, 0, 256)
+            assert list(zip(gi.tolist(), gs.tolist())) == want, seed
+
+    def test_engine_or_fast_path_matches_emit_all(self, spark_index):
+        import pyspark.sql.functions as F
+
+        from veloci_spark.search import _search_hits, search
+
+        req = {"or": [{"search": {"terms": ["die"], "path": "text"}},
+                      {"search": {"terms": ["urge"], "path": "text",
+                                  "levenshtein_distance": 1}}],
+               "top": 5}
+        fast = search(spark_index, req)
+        hits, plan, _l = _search_hits(spark_index, req, need_all=True)
+        assert plan.get("wand_or") is None  # need_all disables pruning
+        slow = hits.orderBy(F.desc("score"), F.desc("doc_id")).limit(5).collect()
+        _f, plan_fast, _ = _search_hits(spark_index, req, need_all=False)
+        assert plan_fast.get("wand_or") is not None
+        assert [(d["doc_id"], d["score"]) for d in fast["data"]] == \
+            [(r["doc_id"], r["score"]) for r in slow]

@@ -902,6 +902,20 @@ def _search_hits(index: FulltextIndex, request: dict, need_all: bool):
             and plan["top"]
             and leaves[tree["leaf_id"]].matched is not None):
         plan["wand_leaf"] = tree["leaf_id"]
+    # multi-leaf WAND: unboosted OR of plain leaves (see _wand_or_segment)
+    elif (not emit_all and filter_tree is None and not term_boost_leaves
+          and not plan["locality"] and not phrase_specs
+          and tree["op"] == "or" and tree.get("boost") is None
+          and plan["top"]
+          and all(c["op"] == "leaf" and c.get("boost") is None
+                  for c in tree["children"])
+          and all(leaves[c["leaf_id"]].matched is not None
+                  for c in tree["children"])):
+        or_tags = sorted({_tree_tag(c) for c in tree["children"]})
+        tag_ix = {t: i for i, t in enumerate(or_tags)}
+        plan["wand_or"] = {c["leaf_id"]: tag_ix[_tree_tag(c)]
+                           for c in tree["children"]}
+        plan["wand_or_ntags"] = len(or_tags)
     spark = index.spark
     if not matched_rows and not identity_leaves:
         return spark.createDataFrame([], schema=_HITS_SCHEMA), plan, leaves
@@ -997,6 +1011,85 @@ def _wand_segment(g: pd.DataFrame, k: int, base: int, quantize_f16: bool = True)
     return uids[sel], umax[sel]
 
 
+def _wand_or_segment(g: pd.DataFrame, tag_by_leaf: dict, n_tags: int, k: int,
+                     base: int, seg_docs: int, quantize_f16: bool = True):
+    """Multi-leaf OR top-k with block-max row pruning (VERDICT r2 #6).
+
+    OR scoring is ``(Σ per-tag max) × n²`` (eval_tree / set_op.rs:87-220) and
+    is MONOTONE in adding contributions, so the running kth partial score θ
+    is a valid lower bound on the kth final score. Rows are processed in
+    descending upper-bound order (upper = term_score × f16(max_score)/100);
+    a row of tag t is skipped — never decoded — when even combined with the
+    best possible contribution of every OTHER tag it cannot reach θ:
+
+        (upper_row + Σ_{t'≠t} U_{t'}) × L² < θ
+
+    where U_t is the segment's max upper of tag t and L the global tag
+    count (≥ any doc's n). Soundness of the OUTPUT: a doc whose tag-t max
+    lives in a skipped row has final score < θ ≤ kth, so every true top-k
+    doc has all of its per-tag maxima in decoded rows — its final score is
+    exact. Docs below θ may be under-scored but cannot displace an
+    exact-scored doc. Final scores are replayed through :func:`eval_tree`
+    itself (one synthetic leaf per tag) so they are bit-identical to the
+    non-WAND path; the θ partials are only a lower-bound estimate, and the
+    bound check carries a 1e-4 relative slack that dwarfs the ≤ L·2⁻²⁴ f32
+    summation noise between the estimate and the exact replay."""
+    ts = g["term_score"].values.astype(_F32)
+    upper = (ts * _stored_to_f32(
+        g["max_score"].values.astype(np.uint32), quantize_f16)).astype(np.float64)
+    tag_arr = np.array([tag_by_leaf[int(l)] for l in g["leaf_id"].values],
+                       dtype=np.int64)
+    seg_u = np.zeros(n_tags, dtype=np.float64)
+    np.maximum.at(seg_u, tag_arr, upper)
+    other = seg_u.sum() - seg_u  # Σ of the OTHER tags' max uppers
+    l2 = float(n_tags) * float(n_tags)
+    order = np.argsort(-upper, kind="stable")
+
+    maxes = np.zeros((n_tags, seg_docs), dtype=_F32)  # 0.0 ≡ absent
+    touched = np.zeros(seg_docs, dtype=bool)
+    thresh = None
+
+    def partials(docs: np.ndarray) -> np.ndarray:
+        sub = maxes[:, docs]
+        acc = np.zeros(len(docs), dtype=_F32)
+        for t in range(n_tags):  # sequential f32 sum, ascending tag order
+            acc = (acc + sub[t]).astype(_F32)
+        cnt = (sub >= _F32(1e-5)).sum(axis=0).astype(_F32)
+        return (acc * cnt * cnt).astype(_F32)
+
+    for i in order:
+        t = int(tag_arr[i])
+        if thresh is not None and \
+                (upper[i] + other[t]) * l2 * 1.0001 < thresh:
+            continue
+        r = g.iloc[i]
+        ids, stored = unpack_postings(r["docs_bin"], r["scores_bin"])
+        fin = (_F32(r["term_score"])
+               * _stored_to_f32(stored, quantize_f16)).astype(_F32)
+        np.maximum.at(maxes[t], ids, fin)
+        touched[ids] = True
+        docs = np.flatnonzero(touched)
+        if len(docs) >= k:
+            sc = partials(docs)
+            thresh = float(np.partition(sc, len(sc) - k)[len(sc) - k])
+    docs = np.flatnonzero(touched)
+    leaf_hits = {}
+    for t in range(n_tags):
+        vals = maxes[t, docs]
+        nz = vals > 0  # 0.0 ≡ absent (a true 0.0 max adds nothing either way)
+        leaf_hits[t] = (docs[nz].astype(np.int64), vals[nz])
+    children = [{"op": "leaf", "leaf_id": t, "tag": f"{t:09d}", "boost": None}
+                for t in range(n_tags)]
+    if len(children) == 1:
+        # two same-tag children keep eval_tree on the OR formula (a single
+        # kid would be passed through without the n² factor)
+        children = children * 2
+    ids_out, sc = eval_tree({"op": "or", "children": children}, leaf_hits)
+    gids = ids_out + base
+    sel = np.lexsort((-gids, -sc.astype(np.float64)))[:k]
+    return gids[sel], sc[sel]
+
+
 def _identity_leaf_rows(index: FulltextIndex, leaf) -> DataFrame:
     """Kernel-input rows for an identity-field leaf: the doc store is
     scanned distributed, per-doc f32 final scores computed in a vectorized
@@ -1067,6 +1160,14 @@ def _segment_kernel_factory(plan: dict, scored_leaf_ids: set):
                 ids, scores = _wand_segment(g[g["leaf_id"] == wand_leaf],
                                             plan["top"], seg_base,
                                             plan.get("quantize_f16", True))
+                yield pd.DataFrame({"doc_id": ids.astype(np.int64),
+                                    "score": scores.astype(np.float32)})
+                continue
+            if plan.get("wand_or") is not None:
+                ids, scores = _wand_or_segment(
+                    g, plan["wand_or"], plan["wand_or_ntags"], plan["top"],
+                    seg_base, plan["segment_docs"],
+                    plan.get("quantize_f16", True))
                 yield pd.DataFrame({"doc_id": ids.astype(np.int64),
                                     "score": scores.astype(np.float32)})
                 continue
@@ -1225,7 +1326,8 @@ def search(index: FulltextIndex, request: dict) -> dict:
         out["explain"] = {
             "tree": _plan["tree"],
             "filter": _plan["filter"],
-            "wand": _plan.get("wand_leaf") is not None,
+            "wand": (_plan.get("wand_leaf") is not None
+                     or _plan.get("wand_or") is not None),
             "leaves": [
                 {"leaf_id": l.leaf_id, "field": l.field, "term": l.term,
                  "opts": l.opts,
