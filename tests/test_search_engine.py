@@ -374,7 +374,7 @@ class TestResumeValidation:
 
 
 class TestWandOr:
-    """Multi-leaf OR WAND (_wand_or_segment): exact vs eval_tree, and rows
+    """Multi-leaf OR/AND WAND (_wand_tree_segment): exact vs eval_tree, and rows
     whose upper bound cannot reach the kth score are never decoded."""
 
     @staticmethod
@@ -389,7 +389,7 @@ class TestWandOr:
                 "scores_bin": scores_bin}
 
     @staticmethod
-    def _brute_topk(g, tag_of_leaf, k):
+    def _brute_topk(g, tag_of_leaf, k, op="or"):
         import pandas as pd
 
         from veloci_spark import search as S
@@ -406,7 +406,7 @@ class TestWandOr:
                                               np.concatenate(all_s))
         children = [{"op": "leaf", "leaf_id": l, "tag": t, "boost": None}
                     for l, t in sorted(tag_of_leaf.items())]
-        ids, sc = S.eval_tree({"op": "or", "children": children}, leaf_hits)
+        ids, sc = S.eval_tree({"op": op, "children": children}, leaf_hits)
         order = np.lexsort((-ids, -sc.astype(np.float64)))[:k]
         return list(zip(ids[order].tolist(), sc[order].tolist()))
 
@@ -434,7 +434,7 @@ class TestWandOr:
             return real(a, b)
 
         monkeypatch.setattr(S, "unpack_postings", counting)
-        gi, gs = S._wand_or_segment(g, {0: 0, 1: 1}, 2, 5, 0, 256)
+        gi, gs = S._wand_tree_segment(g, {0: 0, 1: 1}, 2, "or", 5, 0, 256)
         assert list(zip(gi.tolist(), gs.tolist())) == want
         assert calls["n"] == 4  # the two low rows were never decoded
 
@@ -458,9 +458,9 @@ class TestWandOr:
             tag_of_leaf = {l: chr(ord("a") + l) for l in range(n_leaves)}
             k = int(rng.randint(1, 12))
             want = self._brute_topk(g, tag_of_leaf, k)
-            gi, gs = S._wand_or_segment(
+            gi, gs = S._wand_tree_segment(
                 g, {l: i for i, l in enumerate(sorted(tag_of_leaf))},
-                n_leaves, k, 0, 256)
+                n_leaves, "or", k, 0, 256)
             assert list(zip(gi.tolist(), gs.tolist())) == want, seed
 
     def test_engine_or_fast_path_matches_emit_all(self, spark_index):
@@ -474,9 +474,51 @@ class TestWandOr:
                "top": 5}
         fast = search(spark_index, req)
         hits, plan, _l = _search_hits(spark_index, req, need_all=True)
-        assert plan.get("wand_or") is None  # need_all disables pruning
+        assert plan.get("wand_tree") is None  # need_all disables pruning
         slow = hits.orderBy(F.desc("score"), F.desc("doc_id")).limit(5).collect()
         _f, plan_fast, _ = _search_hits(spark_index, req, need_all=False)
-        assert plan_fast.get("wand_or") is not None
+        assert plan_fast.get("wand_tree") is not None
+        assert [(d["doc_id"], d["score"]) for d in fast["data"]] == \
+            [(r["doc_id"], r["score"]) for r in slow]
+
+    def test_randomized_equality_and(self):
+        import pandas as pd
+
+        from veloci_spark import search as S
+
+        for seed in range(6):
+            rng = np.random.RandomState(100 + seed)
+            rows = []
+            n_leaves = int(rng.randint(2, 5))
+            for leaf in range(n_leaves):
+                for _ in range(int(rng.randint(1, 7))):
+                    n = int(rng.randint(20, 120))
+                    ids = np.sort(rng.choice(256, size=n, replace=False))
+                    stored = rng.randint(1, 5000, size=n)
+                    rows.append(self._row(leaf, rng.uniform(0.1, 1.0),
+                                          ids, stored))
+            g = pd.DataFrame(rows)
+            tag_of_leaf = {l: chr(ord("a") + l) for l in range(n_leaves)}
+            k = int(rng.randint(1, 12))
+            want = self._brute_topk(g, tag_of_leaf, k, op="and")
+            gi, gs = S._wand_tree_segment(
+                g, {l: l for l in range(n_leaves)}, n_leaves, "and",
+                k, 0, 256)
+            assert list(zip(gi.tolist(), gs.tolist())) == want, seed
+
+    def test_engine_and_fast_path_matches_emit_all(self, spark_index):
+        import pyspark.sql.functions as F
+
+        from veloci_spark.search import _search_hits, search
+
+        req = {"and": [{"search": {"terms": ["die"], "path": "text"}},
+                       {"search": {"terms": ["der"], "path": "text"}}],
+               "top": 5}
+        fast = search(spark_index, req)
+        hits, _p, _l = _search_hits(spark_index, req, need_all=True)
+        slow = hits.orderBy(F.desc("score"), F.desc("doc_id")).limit(5).collect()
+        _f, plan_fast, _ = _search_hits(spark_index, req, need_all=False)
+        assert plan_fast.get("wand_tree") is not None
+        assert plan_fast.get("wand_op") == "and"
         assert [(d["doc_id"], d["score"]) for d in fast["data"]] == \
             [(r["doc_id"], r["score"]) for r in slow]

@@ -902,20 +902,32 @@ def _search_hits(index: FulltextIndex, request: dict, need_all: bool):
             and plan["top"]
             and leaves[tree["leaf_id"]].matched is not None):
         plan["wand_leaf"] = tree["leaf_id"]
-    # multi-leaf WAND: unboosted OR of plain leaves (see _wand_or_segment)
+    # multi-leaf WAND: unboosted OR/AND of plain leaves (_wand_tree_segment)
     elif (not emit_all and filter_tree is None and not term_boost_leaves
           and not plan["locality"] and not phrase_specs
-          and tree["op"] == "or" and tree.get("boost") is None
+          and tree["op"] in ("or", "and") and tree.get("boost") is None
           and plan["top"]
           and all(c["op"] == "leaf" and c.get("boost") is None
                   for c in tree["children"])
           and all(leaves[c["leaf_id"]].matched is not None
                   for c in tree["children"])):
-        or_tags = sorted({_tree_tag(c) for c in tree["children"]})
-        tag_ix = {t: i for i, t in enumerate(or_tags)}
-        plan["wand_or"] = {c["leaf_id"]: tag_ix[_tree_tag(c)]
-                           for c in tree["children"]}
-        plan["wand_or_ntags"] = len(or_tags)
+        if tree["op"] == "or":
+            # OR merges legs by TAG (same-tag leaves max together)
+            or_tags = sorted({_tree_tag(c) for c in tree["children"]})
+            tag_ix = {t: i for i, t in enumerate(or_tags)}
+            plan["wand_tree"] = {c["leaf_id"]: tag_ix[_tree_tag(c)]
+                                 for c in tree["children"]}
+            plan["wand_ntags"] = len(or_tags)
+            plan["wand_op"] = "or"
+        else:
+            # AND legs are the child positions (score = Σ in child order);
+            # duplicate children would double-count — leave those to the
+            # full path
+            ids_ = [c["leaf_id"] for c in tree["children"]]
+            if len(set(ids_)) == len(ids_):
+                plan["wand_tree"] = {l: i for i, l in enumerate(ids_)}
+                plan["wand_ntags"] = len(ids_)
+                plan["wand_op"] = "and"
     spark = index.spark
     if not matched_rows and not identity_leaves:
         return spark.createDataFrame([], schema=_HITS_SCHEMA), plan, leaves
@@ -1011,80 +1023,88 @@ def _wand_segment(g: pd.DataFrame, k: int, base: int, quantize_f16: bool = True)
     return uids[sel], umax[sel]
 
 
-def _wand_or_segment(g: pd.DataFrame, tag_by_leaf: dict, n_tags: int, k: int,
-                     base: int, seg_docs: int, quantize_f16: bool = True):
-    """Multi-leaf OR top-k with block-max row pruning (VERDICT r2 #6).
+def _wand_tree_segment(g: pd.DataFrame, leg_by_leaf: dict, n_legs: int,
+                       op: str, k: int, base: int, seg_docs: int,
+                       quantize_f16: bool = True):
+    """Multi-leaf OR/AND top-k with block-max row pruning (VERDICT r2 #6).
 
-    OR scoring is ``(Σ per-tag max) × n²`` (eval_tree / set_op.rs:87-220) and
-    is MONOTONE in adding contributions, so the running kth partial score θ
-    is a valid lower bound on the kth final score. Rows are processed in
-    descending upper-bound order (upper = term_score × f16(max_score)/100);
-    a row of tag t is skipped — never decoded — when even combined with the
-    best possible contribution of every OTHER tag it cannot reach θ:
+    OR scoring is ``(Σ per-leg max) × n²`` (eval_tree / set_op.rs:87-220),
+    AND scoring ``Σ per-leg max`` over docs present in EVERY leg
+    (set_op.rs:368-446); both are MONOTONE in adding contributions, so the
+    running kth partial score θ is a valid lower bound on the kth final
+    score. Rows are processed in descending upper-bound order
+    (upper = term_score × f16(max_score)/100); a row of leg t is skipped —
+    never decoded — when even combined with the best possible contribution
+    of every OTHER leg it cannot reach θ:
 
-        (upper_row + Σ_{t'≠t} U_{t'}) × L² < θ
+        (upper_row + Σ_{t'≠t} U_{t'}) × factor < θ     (factor = L² | 1)
 
-    where U_t is the segment's max upper of tag t and L the global tag
-    count (≥ any doc's n). Soundness of the OUTPUT: a doc whose tag-t max
+    where U_t is the segment's max upper of leg t and L the global leg
+    count (≥ any doc's n). Soundness of the OUTPUT: a doc whose leg-t max
     lives in a skipped row has final score < θ ≤ kth, so every true top-k
-    doc has all of its per-tag maxima in decoded rows — its final score is
-    exact. Docs below θ may be under-scored but cannot displace an
+    doc has all of its per-leg maxima in decoded rows — its final score is
+    exact. Docs below θ may be under-scored (or, for AND, dropped when a
+    skipped row held their only evidence for a leg) but cannot displace an
     exact-scored doc. Final scores are replayed through :func:`eval_tree`
-    itself (one synthetic leaf per tag) so they are bit-identical to the
-    non-WAND path; the θ partials are only a lower-bound estimate, and the
-    bound check carries a 1e-4 relative slack that dwarfs the ≤ L·2⁻²⁴ f32
-    summation noise between the estimate and the exact replay."""
+    itself (one synthetic leaf per leg; a presence mask distinguishes a
+    stored score of exactly 0.0 from absence) so they are bit-identical to
+    the non-WAND path; the θ partials are only a lower-bound estimate, and
+    the bound check carries a 1e-4 relative slack that dwarfs the ≤ L·2⁻²⁴
+    f32 summation noise between the estimate and the exact replay."""
     ts = g["term_score"].values.astype(_F32)
     upper = (ts * _stored_to_f32(
         g["max_score"].values.astype(np.uint32), quantize_f16)).astype(np.float64)
-    tag_arr = np.array([tag_by_leaf[int(l)] for l in g["leaf_id"].values],
+    leg_arr = np.array([leg_by_leaf[int(l)] for l in g["leaf_id"].values],
                        dtype=np.int64)
-    seg_u = np.zeros(n_tags, dtype=np.float64)
-    np.maximum.at(seg_u, tag_arr, upper)
-    other = seg_u.sum() - seg_u  # Σ of the OTHER tags' max uppers
-    l2 = float(n_tags) * float(n_tags)
+    seg_u = np.zeros(n_legs, dtype=np.float64)
+    np.maximum.at(seg_u, leg_arr, upper)
+    other = seg_u.sum() - seg_u  # Σ of the OTHER legs' max uppers
+    factor = float(n_legs) * float(n_legs) if op == "or" else 1.0
     order = np.argsort(-upper, kind="stable")
 
-    maxes = np.zeros((n_tags, seg_docs), dtype=_F32)  # 0.0 ≡ absent
+    maxes = np.zeros((n_legs, seg_docs), dtype=_F32)
+    present = np.zeros((n_legs, seg_docs), dtype=bool)
     touched = np.zeros(seg_docs, dtype=bool)
     thresh = None
 
     def partials(docs: np.ndarray) -> np.ndarray:
         sub = maxes[:, docs]
         acc = np.zeros(len(docs), dtype=_F32)
-        for t in range(n_tags):  # sequential f32 sum, ascending tag order
+        for t in range(n_legs):  # sequential f32 sum, ascending leg order
             acc = (acc + sub[t]).astype(_F32)
+        if op == "and":
+            return acc
         cnt = (sub >= _F32(1e-5)).sum(axis=0).astype(_F32)
         return (acc * cnt * cnt).astype(_F32)
 
     for i in order:
-        t = int(tag_arr[i])
+        t = int(leg_arr[i])
         if thresh is not None and \
-                (upper[i] + other[t]) * l2 * 1.0001 < thresh:
+                (upper[i] + other[t]) * factor * 1.0001 < thresh:
             continue
         r = g.iloc[i]
         ids, stored = unpack_postings(r["docs_bin"], r["scores_bin"])
         fin = (_F32(r["term_score"])
                * _stored_to_f32(stored, quantize_f16)).astype(_F32)
         np.maximum.at(maxes[t], ids, fin)
+        present[t, ids] = True
         touched[ids] = True
-        docs = np.flatnonzero(touched)
+        docs = np.flatnonzero(present.all(axis=0) if op == "and" else touched)
         if len(docs) >= k:
             sc = partials(docs)
             thresh = float(np.partition(sc, len(sc) - k)[len(sc) - k])
     docs = np.flatnonzero(touched)
     leaf_hits = {}
-    for t in range(n_tags):
-        vals = maxes[t, docs]
-        nz = vals > 0  # 0.0 ≡ absent (a true 0.0 max adds nothing either way)
-        leaf_hits[t] = (docs[nz].astype(np.int64), vals[nz])
+    for t in range(n_legs):
+        on = present[t, docs]
+        leaf_hits[t] = (docs[on].astype(np.int64), maxes[t, docs][on])
     children = [{"op": "leaf", "leaf_id": t, "tag": f"{t:09d}", "boost": None}
-                for t in range(n_tags)]
+                for t in range(n_legs)]
     if len(children) == 1:
-        # two same-tag children keep eval_tree on the OR formula (a single
+        # two same-leg children keep eval_tree on the OR formula (a single
         # kid would be passed through without the n² factor)
         children = children * 2
-    ids_out, sc = eval_tree({"op": "or", "children": children}, leaf_hits)
+    ids_out, sc = eval_tree({"op": op, "children": children}, leaf_hits)
     gids = ids_out + base
     sel = np.lexsort((-gids, -sc.astype(np.float64)))[:k]
     return gids[sel], sc[sel]
@@ -1163,11 +1183,11 @@ def _segment_kernel_factory(plan: dict, scored_leaf_ids: set):
                 yield pd.DataFrame({"doc_id": ids.astype(np.int64),
                                     "score": scores.astype(np.float32)})
                 continue
-            if plan.get("wand_or") is not None:
-                ids, scores = _wand_or_segment(
-                    g, plan["wand_or"], plan["wand_or_ntags"], plan["top"],
-                    seg_base, plan["segment_docs"],
-                    plan.get("quantize_f16", True))
+            if plan.get("wand_tree") is not None:
+                ids, scores = _wand_tree_segment(
+                    g, plan["wand_tree"], plan["wand_ntags"],
+                    plan["wand_op"], plan["top"], seg_base,
+                    plan["segment_docs"], plan.get("quantize_f16", True))
                 yield pd.DataFrame({"doc_id": ids.astype(np.int64),
                                     "score": scores.astype(np.float32)})
                 continue
@@ -1327,7 +1347,7 @@ def search(index: FulltextIndex, request: dict) -> dict:
             "tree": _plan["tree"],
             "filter": _plan["filter"],
             "wand": (_plan.get("wand_leaf") is not None
-                     or _plan.get("wand_or") is not None),
+                     or _plan.get("wand_tree") is not None),
             "leaves": [
                 {"leaf_id": l.leaf_id, "field": l.field, "term": l.term,
                  "opts": l.opts,
