@@ -138,3 +138,66 @@ class TestStructuredStreaming:
             stream_cfg, root, str(tmp_path / "ckpt"))
         q2.awaitTermination(120)
         assert len(MultiIndex(spark, root).gens) == 2
+
+
+class TestDeletes:
+    def test_delete_hides_doc_and_promotes_next(self, spark, stream_cfg,
+                                                tmp_path):
+        from veloci_spark.streaming import MultiIndex, delete_docs, ingest_batch
+
+        root = str(tmp_path / "root")
+        ingest_batch(spark, spark.createDataFrame(_batch_rows(0, 20, "a")),
+                     stream_cfg, root)
+        ingest_batch(spark, spark.createDataFrame(_batch_rows(0, 20, "b")),
+                     stream_cfg, root)
+        req = {"search": {"terms": ["spark"], "path": "text"}, "top": 3}
+        before = MultiIndex(spark, root).search(req)
+        victim = before["data"][0]["doc_id"]
+        expect = [d["doc_id"] for d in MultiIndex(spark, root).search(
+            {**req, "top": 4})["data"] if d["doc_id"] != victim][:3]
+
+        delete_docs(spark, root, [victim])
+        mi = MultiIndex(spark, root)
+        after = mi.search(req)
+        ids = [d["doc_id"] for d in after["data"]]
+        assert victim not in ids
+        assert len(ids) == 3          # a live doc was promoted into the slot
+        assert ids == expect          # exactly the next-ranked live docs
+        assert mi.get_doc(victim) is None
+        assert mi.live_docs == 39 and mi.n_docs == 40
+
+    def test_compact_applies_deletes_and_preserves_id_space(self, spark,
+                                                            stream_cfg,
+                                                            tmp_path):
+        import os as _os
+
+        from veloci_spark.streaming import (MultiIndex, compact, delete_docs,
+                                            ingest_batch)
+
+        root = str(tmp_path / "root")
+        ingest_batch(spark, spark.createDataFrame(_batch_rows(0, 15, "a")),
+                     stream_cfg, root)
+        ingest_batch(spark, spark.createDataFrame(_batch_rows(0, 15, "b")),
+                     stream_cfg, root)
+        delete_docs(spark, root, [3, 17, 29])
+        rec = compact(spark, root, stream_cfg)
+        assert rec["n_docs"] == 27
+        assert rec["id_hi"] == 30     # high-water mark survives the holes
+        assert not _os.path.exists(_os.path.join(root, "deletes"))
+        mi = MultiIndex(spark, root)
+        assert mi.live_docs == 27
+        assert mi.get_doc(3) is None and mi.get_doc(4) is not None
+        res = mi.search({"search": {"terms": ["spark"], "path": "text"},
+                         "top": 50})
+        ids = {d["doc_id"] for d in res["data"]}
+        assert ids.isdisjoint({3, 17, 29}) and len(ids) == 27
+
+        # an update after compaction: new ids start at id_hi, never reusing
+        # a deleted or surviving id
+        ingest_batch(spark, spark.createDataFrame(_batch_rows(0, 5, "c")),
+                     stream_cfg, root)
+        mi2 = MultiIndex(spark, root)
+        res2 = mi2.search({"search": {"terms": ["c"], "path": "text"},
+                           "top": 10})
+        new_ids = {d["doc_id"] for d in res2["data"]}
+        assert new_ids and all(i >= 30 for i in new_ids)

@@ -22,6 +22,16 @@ touching that invariant: **log-structured generations**.
   compaction term statistics (num_occurences) are globally exact again;
   between compactions they are per-generation, exactly like Lucene
   segments before merge (documented approximation).
+* ``delete_docs()`` tombstones global doc ids in an append-only
+  ``deletes/`` parquet (Lucene's liveDocs bitmap, kept relational).
+  Tombstoned docs disappear from :class:`MultiIndex` results immediately —
+  each generation's top-k is inflated by ITS tombstone count so a deleted
+  doc can never evict a live one from the truncated per-segment top-k,
+  and the merge anti-joins the tombstone set (distributed, never a driver
+  id list). ``compact()`` drops tombstoned docs physically and clears the
+  tombstones; an *update* is delete + re-ingest (the new version gets a
+  fresh global id — ids are never reused, ``id_hi`` tracks the high-water
+  mark across compactions).
 
 Structured Streaming enters via ``index_stream``: ``readStream`` source →
 ``writeStream.foreachBatch(ingest into a new generation)`` with a
@@ -43,6 +53,34 @@ from pyspark.sql import functions as F
 from veloci_spark.config import IndexConfig
 
 _GENS_FILE = "generations.json"
+_DELETES_DIR = "deletes"
+
+
+def _gen_hi(g: dict) -> int:
+    """One past the highest global doc id a generation may contain.
+    Pre-delete records lack ``id_hi`` (ids were contiguous)."""
+    return int(g.get("id_hi", g["base"] + g["n_docs"]))
+
+
+def delete_docs(spark: SparkSession, root_dir: str, doc_ids) -> int:
+    """Tombstone global doc ids: append-only ``deletes/`` parquet, visible
+    to every subsequently-constructed :class:`MultiIndex` immediately and
+    removed physically at :func:`compact`. Deleting an id twice (or an id
+    that was never ingested) is harmless — the set is deduped on read."""
+    rows = [(int(i),) for i in doc_ids]
+    if not rows:
+        return 0
+    (spark.createDataFrame(rows, "doc_id long")
+     .coalesce(1)
+     .write.mode("append").parquet(os.path.join(root_dir, _DELETES_DIR)))
+    return len(rows)
+
+
+def _deletes_df(spark: SparkSession, root_dir: str):
+    p = os.path.join(root_dir, _DELETES_DIR)
+    if not os.path.exists(p):
+        return None
+    return spark.read.parquet(p).select("doc_id").distinct()
 
 
 def _read_gens(root_dir: str) -> list[dict]:
@@ -74,7 +112,10 @@ def ingest_batch(spark: SparkSession, df: DataFrame, config: IndexConfig,
     os.makedirs(root_dir, exist_ok=True)
     gens = _read_gens(root_dir)
     gen_id = (max(g["gen"] for g in gens) + 1) if gens else 0
-    base = sum(g["n_docs"] for g in gens)
+    # next free id = the id high-water mark, NOT sum(n_docs): after a
+    # compaction with deletes the id space has holes but ids are never
+    # reused (an update's new version must not collide with a survivor)
+    base = max((_gen_hi(g) for g in gens), default=0)
     d = gen_dir(root_dir, gen_id)
 
     # global ids: assign 0-based local ids via the normal machinery, offset
@@ -94,7 +135,7 @@ def ingest_batch(spark: SparkSession, df: DataFrame, config: IndexConfig,
     gen_config = dataclasses.replace(config, doc_id_col="_gid")
     manifest = build_index(spark, with_ids, gen_config, d)
     rec = {"gen": gen_id, "base": base, "n_docs": manifest["n_docs"],
-           "dir": d, "ts": time.time()}
+           "id_hi": base + manifest["n_docs"], "dir": d, "ts": time.time()}
     _write_gens(root_dir, gens + [rec])
     return rec
 
@@ -135,10 +176,33 @@ class MultiIndex:
         self.root_dir = root_dir
         self.gens = _read_gens(root_dir)
         self.indexes = [(g, FulltextIndex(spark, g["dir"])) for g in self.gens]
+        self.deletes = _deletes_df(spark, root_dir)
+        # per-generation tombstone counts (one aggregation job, ranges
+        # broadcast): needed to inflate each generation's top-k so deleted
+        # docs cannot evict live ones from the truncated per-segment top-k
+        self._del_counts: dict[int, int] = {}
+        self.n_deletes = 0
+        if self.deletes is not None and self.gens:
+            self.deletes = self.deletes.cache()
+            ranges = spark.createDataFrame(
+                [(g["gen"], g["base"], _gen_hi(g)) for g in self.gens],
+                "gen int, lo long, hi long")
+            d = self.deletes
+            rows = (d.join(F.broadcast(ranges),
+                           (d["doc_id"] >= ranges["lo"])
+                           & (d["doc_id"] < ranges["hi"]))
+                    .groupBy("gen").count().collect())
+            self._del_counts = {r["gen"]: int(r["count"]) for r in rows}
+            self.n_deletes = sum(self._del_counts.values())
 
     @property
     def n_docs(self) -> int:
         return sum(g["n_docs"] for g in self.gens)
+
+    @property
+    def live_docs(self) -> int:
+        """Docs visible to search: ingested minus tombstoned."""
+        return self.n_docs - self.n_deletes
 
     def search(self, request: dict) -> dict:
         """Ranked search across generations: per-generation evaluation
@@ -154,7 +218,15 @@ class MultiIndex:
         merged = None
         exact = True
         for _g, idx in self.indexes:
-            hits, plan, leaves = _search_hits(idx, request, need_all=False)
+            ndel = self._del_counts.get(_g["gen"], 0)
+            gen_req = request
+            if ndel:
+                # widen this generation's candidate set by its tombstone
+                # count: at most ndel of its per-segment top-k slots can be
+                # occupied by deleted docs, so k+ndel live candidates always
+                # survive the kernel truncation
+                gen_req = {**request, "top": top + skip + ndel, "skip": 0}
+            hits, plan, leaves = _search_hits(idx, gen_req, need_all=False)
             # mirror search(): nested fields disable kernel locality and
             # expect this post-pass — without it streamed nested indexes
             # silently dropped the text_locality boost.
@@ -166,6 +238,8 @@ class MultiIndex:
             merged = hits if merged is None else merged.unionByName(hits)
         if merged is None:
             return {"num_hits": 0, "num_hits_exact": True, "data": []}
+        if self.deletes is not None:
+            merged = merged.join(self.deletes, on="doc_id", how="left_anti")
         ranked = merged.orderBy(F.desc("score"), F.desc("doc_id")) \
             .limit(top + skip).collect()[skip:]
         return {
@@ -176,38 +250,52 @@ class MultiIndex:
         }
 
     def get_doc(self, doc_id: int, columns=None):
-        """Route a global doc id to its generation."""
+        """Route a global doc id to its generation; tombstoned ids resolve
+        to None exactly like never-ingested ones."""
         from veloci_spark.search import get_doc
 
+        if self.deletes is not None and \
+                self.deletes.where(F.col("doc_id") == doc_id).limit(1).count():
+            return None
         for g, idx in self.indexes:
-            if g["base"] <= doc_id < g["base"] + g["n_docs"]:
+            if g["base"] <= doc_id < _gen_hi(g):
                 return get_doc(idx, doc_id, columns)
         return None
 
 
 def compact(spark: SparkSession, root_dir: str, config: IndexConfig) -> dict:
     """Merge all generations into one (the segment-merge of this design):
-    re-read every generation's doc store (global ids preserved), rebuild a
-    single index over the union, atomically swap the generation list, then
-    delete the old generation dirs. Term statistics become globally exact."""
+    re-read every generation's doc store (global ids preserved), drop
+    tombstoned docs, rebuild a single index over the union, atomically swap
+    the generation list, then delete the old generation dirs and the
+    tombstone set. Term statistics become globally exact; the surviving
+    generation records ``id_hi`` (high-water mark + 1) so later ingests
+    never reuse a deleted or surviving id."""
     import shutil
 
     from veloci_spark.build import build_index
 
     gens = _read_gens(root_dir)
-    if len(gens) <= 1:
+    dels = _deletes_df(spark, root_dir)
+    if len(gens) <= 1 and dels is None:
         return gens[0] if gens else {}
+    if not gens:
+        return {}
     docs = None
     for g in gens:
         d = spark.read.parquet(os.path.join(g["dir"], "docs"))
         docs = d if docs is None else docs.unionByName(d)
+    if dels is not None:
+        docs = docs.join(dels, on="doc_id", how="left_anti")
     new_id = max(g["gen"] for g in gens) + 1
     d = gen_dir(root_dir, new_id)
     cfg = dataclasses.replace(config, doc_id_col="doc_id")
     manifest = build_index(spark, docs, cfg, d)
     rec = {"gen": new_id, "base": 0, "n_docs": manifest["n_docs"],
-           "dir": d, "ts": time.time()}
+           "id_hi": max(_gen_hi(g) for g in gens), "dir": d,
+           "ts": time.time()}
     _write_gens(root_dir, [rec])
     for g in gens:
         shutil.rmtree(g["dir"], ignore_errors=True)
+    shutil.rmtree(os.path.join(root_dir, _DELETES_DIR), ignore_errors=True)
     return rec
