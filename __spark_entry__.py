@@ -441,11 +441,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         })
 
     def ft_phrase_docs(spark, sf_dir):
-        # B9: adjacent non-separator pair index
+        # B9: adjacent non-separator pair index (packed per (pair, segment)
+        # since layout v6 — decode through phrase_doc_rows)
+        from veloci_spark.search import phrase_doc_rows
+
         idx = _get_index(spark, sf_dir)
         return (
-            idx.phrase.where((F.col("tok_a") == "spark") & (F.col("tok_b") == "query"))
+            phrase_doc_rows(idx, ["spark"], ["query"])
+            .where((F.col("tok_a") == "spark") & (F.col("tok_b") == "query"))
             .select(F.col("doc_id").cast("long"))
+            .distinct()
             .orderBy("doc_id")
         )
 

@@ -50,15 +50,28 @@ def test_postings_match_oracle(spark_index, ref_index):
 
 
 def test_phrase_index_matches_oracle(spark_index, ref_index):
-    rows = spark_index.phrase.where("field = 'text'").toPandas()
+    # packed layout (v6): decode the per-(pair, segment) id lists, then the
+    # pair→doc-set mapping must equal the reference model's
+    from veloci_spark.vbyte import unpack_ids
+
+    packed = spark_index.phrase.where("field = 'text'").toPandas()
     got: dict[tuple, set] = {}
-    for _, r in rows.iterrows():
-        got.setdefault((r["tok_a"], r["tok_b"]), set()).add(int(r["doc_id"]))
+    for _, r in packed.iterrows():
+        ids = unpack_ids(r["docs_bin"]) + int(r["segment"]) * SEGMENT_DOCS
+        for d in ids:
+            assert int(d) // SEGMENT_DOCS == int(r["segment"])
+            got.setdefault((r["tok_a"], r["tok_b"]), set()).add(int(d))
     assert got == ref_index.fields["text"].phrase_pairs
-    # flat pair rows are unique per (pair, doc)
-    assert len(rows) == rows.drop_duplicates(["tok_a", "tok_b", "doc_id"]).shape[0]
-    seg = rows["doc_id"] // SEGMENT_DOCS
-    assert (rows["segment"] == seg).all()
+
+    # the decode helper round-trips to the same per-doc rows
+    from veloci_spark.search import phrase_doc_rows
+
+    some = sorted(got)[:5]
+    dec = phrase_doc_rows(spark_index,
+                          [a for a, _ in some], [b for _, b in some]).toPandas()
+    for a, b in some:
+        sub = dec[(dec["tok_a"] == a) & (dec["tok_b"] == b)]
+        assert set(sub["doc_id"].astype(int)) == got[(a, b)]
 
 
 # ---------------------------------------------------------------------------

@@ -81,7 +81,9 @@ from veloci_spark.vbyte import delta_encode, vbyte_encode
 #       column + row-group stats, no partitionBy re-shuffle)
 #   v5: multi-level nesting — pos is a packed long (62//depth bits per []
 #       level, DFS-ordered); values/ relations carry per-level pos_i columns
-LAYOUT_VERSION = 5
+#   v6: packed phrase index — one row per (field, pair, segment) with a
+#       delta+VByte segment-relative doc-id list (no per-doc phrase rows)
+LAYOUT_VERSION = 6
 
 # ---------------------------------------------------------------------------
 # stage bookkeeping
@@ -1085,20 +1087,56 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
             pairs_raw = parts[0]
             for p in parts[1:]:
                 pairs_raw = pairs_raw.unionByName(p)
-            # FLAT storage, sorted by pair: parquet row-group min/max stats on
-            # (tok_a, tok_b) give data skipping for pair lookups, and the
-            # sort shuffle is far cheaper than materializing tens of millions
-            # of tiny collect_set groups (measured 100s → ~25s at 1M docs)
+            # PACKED storage, sorted by pair (v6): one row per
+            # (field, pair, segment) holding the delta+VByte doc-id list
+            # (segment-relative, like postings). Row-group min/max stats on
+            # (tok_a, tok_b) still prune pair lookups; the pack removes the
+            # query-side collect_list shuffle entirely — packed rows feed
+            # the segment kernel directly — and shrinks the table vs flat
+            # longs. A (pair, segment) group split across Arrow batches
+            # yields two rows; every reader treats the id lists as sets, so
+            # splits are benign.
+            from veloci_spark.vbyte import pack_ids as _pack_ids
+
+            _seg_docs = segment_docs
+
+            def pack_pairs(iterator):
+                for pdf in iterator:
+                    if pdf.empty:
+                        continue
+                    ids = pdf["doc_id"].values.astype(np.int64)
+                    seg = pdf["segment"].values.astype(np.int64)
+                    keys = (pdf["field"].values, pdf["tok_a"].values,
+                            pdf["tok_b"].values, seg)
+                    change = np.zeros(len(ids), dtype=bool)
+                    change[0] = True
+                    for k in keys:
+                        change[1:] |= k[1:] != k[:-1]
+                    starts = np.flatnonzero(change)
+                    ends = np.append(starts[1:], len(ids))
+                    yield pd.DataFrame({
+                        "field": pdf["field"].values[starts],
+                        "tok_a": pdf["tok_a"].values[starts],
+                        "tok_b": pdf["tok_b"].values[starts],
+                        "segment": seg[starts].astype(np.int32),
+                        "docs_bin": [
+                            _pack_ids(np.unique(ids[s:e]) - seg[s] * _seg_docs)
+                            for s, e in zip(starts, ends)],
+                    })
+
             pairs = (
                 pairs_raw
                 .withColumn("segment", (F.col("doc_id") / F.lit(segment_docs)).cast("int"))
                 .repartition(num_partitions, "tok_a", "tok_b")
                 .sortWithinPartitions("field", "tok_a", "tok_b", "segment", "doc_id")
+                .mapInPandas(pack_pairs, schema=("field string, tok_a string, "
+                                                 "tok_b string, segment int, "
+                                                 "docs_bin binary"))
             )
             pairs.write.mode("overwrite").parquet(phrase_path)
         else:
             spark.createDataFrame(
-                [], "field string, tok_a string, tok_b string, segment int, doc_id long"
+                [], "field string, tok_a string, tok_b string, segment int, docs_bin binary"
             ).write.mode("overwrite").parquet(phrase_path)
         _mark_stage(index_dir, "phrase", fp, wall_sec=time.time() - t0)
 

@@ -160,11 +160,12 @@ def explain_hits(index, request, doc_ids: list[int]) -> dict[int, list[dict]]:
     # phrase-pair presence per doc
     phrase_docs: dict[int, set] = {}
     if phrase_specs:
+        from veloci_spark.search import phrase_doc_rows
+
         a_set = list({a for _f, a, _b in phrase_specs})
         b_set = list({b for _f, _a, b in phrase_specs})
         prows = (
-            index.phrase
-            .where(F.col("tok_a").isin(a_set) & F.col("tok_b").isin(b_set))
+            phrase_doc_rows(index, a_set, b_set)
             .where(F.col("doc_id").isin([int(d) for d in doc_ids]))
             .select("field", "tok_a", "tok_b", "doc_id").toPandas()
         )

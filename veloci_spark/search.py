@@ -43,7 +43,7 @@ from pyspark.sql import types as T
 
 from veloci_spark.build import load_manifest
 from veloci_spark.scoring import index_score_u32, levenshtein_batch, term_score
-from veloci_spark.vbyte import unpack_postings, vbyte_decode
+from veloci_spark.vbyte import unpack_ids, unpack_postings, vbyte_decode
 from veloci_spark import pyref
 
 _F32 = np.float32
@@ -960,22 +960,22 @@ def _search_hits(index: FulltextIndex, request: dict, need_all: bool):
             "field string, tok_a string, tok_b string, phrase_leaf int")
         phrase_leaf_ids = [next_leaf_id + i for i in range(len(phrase_specs))]
         # explicit isin predicates reach the parquet row-group stats (the
-        # phrase table is sorted by pair); the query-time grouping is tiny
+        # phrase table is sorted by pair); rows are already packed per
+        # (pair, segment) — they feed the kernel directly, no shuffle here
+        # beyond the shared repartition("segment")
         a_set = list({a for _f, a, _b in phrase_specs})
         b_set = list({b for _f, _a, b in phrase_specs})
         prows = (
             index.phrase
             .where(F.col("tok_a").isin(a_set) & F.col("tok_b").isin(b_set))
             .join(F.broadcast(specs_df), on=["field", "tok_a", "tok_b"])
-            .groupBy("segment", "phrase_leaf")
-            .agg(F.collect_list("doc_id").alias("doc_ids"))
             .select("segment",
                     F.col("phrase_leaf").alias("leaf_id"),
                     F.lit(0.0).cast("float").alias("term_score"),
                     F.lit(0).cast("long").alias("max_score"),
-                    F.lit(None).cast("binary").alias("docs_bin"),
+                    "docs_bin",
                     F.lit(None).cast("binary").alias("scores_bin"),
-                    "doc_ids",
+                    F.lit(None).cast("array<long>").alias("doc_ids"),
                     "phrase_leaf")
         )
         rows = rows.unionByName(prows)
@@ -1110,6 +1110,34 @@ def _wand_tree_segment(g: pd.DataFrame, leg_by_leaf: dict, n_legs: int,
     return gids[sel], sc[sel]
 
 
+def phrase_doc_rows(index: FulltextIndex, a_set: list, b_set: list) -> DataFrame:
+    """Decode the packed phrase index back to per-doc rows
+    ``(field, tok_a, tok_b, doc_id)`` for the given pair candidates — the
+    (tok_a, tok_b) predicates prune parquet row groups before the
+    distributed decode. Used by explain/why-found and the contract oracle;
+    the search path feeds packed rows to the kernel directly."""
+    segment_docs = int(index.manifest["segment_docs"])
+
+    def dec(iterator):
+        for pdf in iterator:
+            outs = []
+            for _, r in pdf.iterrows():
+                ids = unpack_ids(r["docs_bin"]) + int(r["segment"]) * segment_docs
+                outs.append(pd.DataFrame({
+                    "field": r["field"], "tok_a": r["tok_a"],
+                    "tok_b": r["tok_b"], "doc_id": ids}))
+            yield (pd.concat(outs) if outs else
+                   pd.DataFrame({"field": [], "tok_a": [], "tok_b": [],
+                                 "doc_id": []}))
+
+    return (
+        index.phrase
+        .where(F.col("tok_a").isin(list(a_set)) & F.col("tok_b").isin(list(b_set)))
+        .mapInPandas(dec, schema="field string, tok_a string, tok_b string, "
+                                 "doc_id long")
+    )
+
+
 def _identity_leaf_rows(index: FulltextIndex, leaf) -> DataFrame:
     """Kernel-input rows for an identity-field leaf: the doc store is
     scanned distributed, per-doc f32 final scores computed in a vectorized
@@ -1196,7 +1224,7 @@ def _segment_kernel_factory(plan: dict, scored_leaf_ids: set):
             for leaf_id, rows in g.groupby("leaf_id", sort=False):
                 all_ids, all_sc = [], []
                 for _, r in rows.iterrows():
-                    if r["docs_bin"] is not None:
+                    if r["docs_bin"] is not None and r["scores_bin"] is not None:
                         ids, stored = unpack_postings(r["docs_bin"], r["scores_bin"])
                         ids = ids + seg_base  # stored segment-relative
                         ts = _F32(r["term_score"])
@@ -1204,6 +1232,11 @@ def _segment_kernel_factory(plan: dict, scored_leaf_ids: set):
                             stored, plan.get("quantize_f16", True))).astype(_F32)
                         all_ids.append(ids)
                         all_sc.append(fin)
+                    elif r["docs_bin"] is not None:
+                        # ids-only packed row (phrase leg): no scores
+                        ids = unpack_ids(r["docs_bin"]) + seg_base
+                        all_ids.append(ids)
+                        all_sc.append(np.zeros(len(ids), dtype=_F32))
                     elif r["doc_ids"] is not None:
                         # identity-leaf rows carry the per-group f32 score in
                         # term_score; phrase rows carry 0.0 (ids-only use)

@@ -87,3 +87,12 @@ def unpack_postings(docs_bin: bytes, scores_bin: bytes) -> tuple[np.ndarray, np.
     docs = delta_decode(vbyte_decode(docs_bin))
     scores = vbyte_decode(scores_bin).astype(np.uint32)
     return docs.astype(np.int64), scores
+
+
+def pack_ids(sorted_ids: np.ndarray) -> bytes:
+    """Ids-only posting (phrase doc lists): delta + VByte."""
+    return vbyte_encode(delta_encode(sorted_ids))
+
+
+def unpack_ids(ids_bin: bytes) -> np.ndarray:
+    return delta_decode(vbyte_decode(ids_bin)).astype(np.int64)
