@@ -1292,20 +1292,17 @@ def search(index: FulltextIndex, request: dict) -> dict:
     skip = request.get("skip", 0)
     if need_all:
         hits = hits.cache()
-        num_hits = hits.count()
-        ranked = hits.orderBy(F.desc("score"), F.desc("doc_id")).limit(top + skip).collect()
+        num_hits = hits.count()  # materializes the cache for the jobs below
     else:
-        ranked = hits.orderBy(F.desc("score"), F.desc("doc_id")).limit(top + skip).collect()
         num_hits = None  # lower bound only; exact needs emit_all
-    ranked = ranked[skip:]
-    out = {
-        "num_hits": num_hits if num_hits is not None else len(ranked),
-        "num_hits_exact": num_hits is not None,
-        "data": [{"doc_id": r["doc_id"], "score": float(np.float32(r["score"]))}
-                 for r in ranked],
-    }
-    if request.get("facets"):
-        facets = {}
+
+    def _ranked():
+        return hits.orderBy(F.desc("score"), F.desc("doc_id")) \
+            .limit(top + skip).collect()
+
+    facet_specs = request.get("facets") or []
+    facets: dict = {}
+    if facet_specs:
         # for a selective query the hit set is the SMALL side of the
         # hits⋈docs join — broadcast it so facet counting is a map-side
         # hash join over the doc/value store instead of shuffling both
@@ -1315,29 +1312,47 @@ def search(index: FulltextIndex, request: dict) -> dict:
         bhits = hits.select("doc_id")
         if num_hits is not None and num_hits <= 1_000_000:
             bhits = F.broadcast(bhits)
-        for spec in request["facets"]:
+
+        def _facet(spec):
             fld = spec["field"]
             ftop = spec.get("top", 10)
             if fld in index.values:
                 # 1:n facet (reference facet.rs:75-94): count VALUES of the
                 # hit docs — one value row per (doc, pos)
-                fc = (
-                    index.values[fld].select("doc_id", "value")
-                    .join(bhits, on="doc_id")
-                    .groupBy("value").count()
-                    .orderBy(F.desc("count"), F.asc("value"))
-                    .limit(ftop).collect()
-                )
-                facets[fld] = [(r["value"], r["count"]) for r in fc]
+                src = index.values[fld].select("doc_id",
+                                               F.col("value").alias("_fv"))
             else:
-                fc = (
-                    index.docs.select("doc_id", fld)
-                    .join(bhits, on="doc_id")
-                    .groupBy(fld).count()
-                    .orderBy(F.desc("count"), F.asc(fld))
-                    .limit(ftop).collect()
-                )
-                facets[fld] = [(r[fld], r["count"]) for r in fc]
+                src = index.docs.select("doc_id", F.col(fld).alias("_fv"))
+            fc = (
+                src.join(bhits, on="doc_id")
+                .groupBy("_fv").count()
+                .orderBy(F.desc("count"), F.asc("_fv"))
+                .limit(ftop).collect()
+            )
+            return fld, [(r["_fv"], r["count"]) for r in fc]
+
+        # the cache is materialized — the ranking job and every facet job
+        # read it without recomputing, so run them CONCURRENTLY (each is a
+        # separate Spark job; wall time = the slowest one, not the sum)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1 + len(facet_specs)) as ex:
+            ranked_f = ex.submit(_ranked)
+            facet_fs = [ex.submit(_facet, s) for s in facet_specs]
+            ranked = ranked_f.result()
+            for ff in facet_fs:
+                fld, vals = ff.result()
+                facets[fld] = vals
+    else:
+        ranked = _ranked()
+    ranked = ranked[skip:]
+    out = {
+        "num_hits": num_hits if num_hits is not None else len(ranked),
+        "num_hits_exact": num_hits is not None,
+        "data": [{"doc_id": r["doc_id"], "score": float(np.float32(r["score"]))}
+                 for r in ranked],
+    }
+    if facet_specs:
         out["facets"] = facets
     if need_all:
         hits.unpersist()
