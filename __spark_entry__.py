@@ -621,6 +621,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.col("doc_a").cast("long"), F.col("doc_b").cast("long"),
                     F.col("hamming").cast("long"))
 
+    def dd_minhash_clusters(spark, sf_dir):
+        # near-dup pairs → connected components (min-id canonical label);
+        # oracle = recursive transitive closure over the brute-force-exact
+        # Jaccard pairs (the pair sets are proven equal by dd_minhash_pairs)
+        pairs = dd.minhash_near_duplicates(_documents(spark, sf_dir),
+                                           threshold=0.8)
+        return (
+            dd.cluster_near_duplicates(pairs)
+            .select(F.col("doc_id").cast("long"),
+                    F.col("cluster_id").cast("long"))
+            .orderBy("doc_id")
+        )
+
+    def dd_neardup_distinct(spark, sf_dir):
+        # keep-one-per-cluster: docs minus the non-canonical members
+        docs = _documents(spark, sf_dir)
+        pairs = dd.minhash_near_duplicates(docs, threshold=0.8)
+        clusters = dd.cluster_near_duplicates(pairs)
+        return (
+            dd.distinct_by_cluster(docs, clusters)
+            .select(F.col("doc_id").cast("long"))
+            .orderBy("doc_id")
+        )
+
     def sim_cosine_topk(spark, sf_dir):
         emb = _embeddings(spark, sf_dir)
         qs = emb.where(F.col("vec_id") < 3)
@@ -755,6 +779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_distinct_keep": dd_distinct_keep,
         "dd_ngram_jaccard": dd_ngram_jaccard,
         "dd_minhash_pairs": dd_minhash_pairs,
+        "dd_minhash_clusters": dd_minhash_clusters,
+        "dd_neardup_distinct": dd_neardup_distinct,
         "dd_simhash_pairs": dd_simhash_pairs,
         "sim_cosine_topk": sim_cosine_topk,
         "sim_ivf_topk": sim_ivf_topk,
@@ -1036,6 +1062,39 @@ JOIN sizes sb ON sb.doc_id = b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING COUNT(*) / (MAX(sa.n) + MAX(sb.n) - COUNT(*)) >= 0.8
 ORDER BY doc_a, doc_b
+"""
+
+    # connected components over the brute-force-exact near-dup pairs:
+    # recursive transitive closure, cluster = min reachable id
+    _cc = f"""
+WITH RECURSIVE {_shingles},
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN sizes sa ON sa.doc_id = a.doc_id
+  JOIN sizes sb ON sb.doc_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) / (MAX(sa.n) + MAX(sb.n) - COUNT(*)) >= 0.8
+),
+e AS (SELECT doc_a AS a, doc_b AS b FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+r AS (
+  SELECT a AS node, a AS reach FROM e
+  UNION
+  SELECT r.node, e.b FROM r JOIN e ON e.a = r.reach
+),
+cc AS (SELECT node AS doc_id, MIN(reach) AS cluster_id FROM r GROUP BY node)
+"""
+
+    sql["dd_minhash_clusters"] = _cc + """
+SELECT doc_id::BIGINT AS doc_id, cluster_id::BIGINT AS cluster_id
+FROM cc ORDER BY doc_id
+"""
+
+    sql["dd_neardup_distinct"] = _cc + """
+SELECT d.doc_id::BIGINT AS doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+ORDER BY doc_id
 """
 
     # brute-force 60-bit portable SimHash: Horner polynomial word hashes

@@ -466,3 +466,44 @@ def spark_tmp_index(spark, tmp_path_factory):
     build_index(spark, docs, webtext_config(segment_docs=64), d)
     idx = FulltextIndex(spark, d)
     return idx, idx.manifest["n_terms"]
+
+
+class TestNearDupClustering:
+    def test_chain_and_clique_components(self, spark):
+        # a 5-node CHAIN (diameter 4 — label must propagate multiple
+        # rounds), a 3-clique, and an isolated pair
+        from veloci_spark.pipeline.dedup import cluster_near_duplicates
+
+        pairs = spark.createDataFrame(
+            [(10, 11), (11, 12), (12, 13), (13, 14),
+             (20, 21), (21, 22), (20, 22),
+             (31, 30)],
+            "doc_a long, doc_b long")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in cluster_near_duplicates(pairs).collect()}
+        assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+                       20: 20, 21: 20, 22: 20,
+                       30: 30, 31: 30}
+
+    def test_distinct_by_cluster(self, spark):
+        from veloci_spark.pipeline.dedup import (cluster_near_duplicates,
+                                                 distinct_by_cluster)
+
+        docs = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(6)], "doc_id long, text string")
+        pairs = spark.createDataFrame(
+            [(0, 3), (3, 5)], "doc_a long, doc_b long")
+        clusters = cluster_near_duplicates(pairs)
+        kept = sorted(r["doc_id"]
+                      for r in distinct_by_cluster(docs, clusters).collect())
+        assert kept == [0, 1, 2, 4]  # 3 and 5 fold into canonical 0
+
+    def test_nonconvergence_raises(self, spark):
+        import pytest as _pytest
+
+        from veloci_spark.pipeline.dedup import cluster_near_duplicates
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], "doc_a long, doc_b long")
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            cluster_near_duplicates(chain, max_iter=2)

@@ -457,3 +457,69 @@ def embedding_near_duplicates(emb: DataFrame, *, id_col: str = "vec_id",
         .select("id_a", "id_b", "cosine")
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components) + keep-one
+
+
+def cluster_near_duplicates(pairs: DataFrame, *, id_a: str = "doc_a",
+                            id_b: str = "doc_b",
+                            max_iter: int = 25) -> DataFrame:
+    """Near-duplicate PAIRS → connected components:
+    ``(doc_id, cluster_id)`` where ``cluster_id`` is the smallest doc id in
+    the component (the canonical survivor). Only docs that appear in some
+    pair get a row — singletons are their own implicit cluster.
+
+    Iterative min-label propagation: each round is one join + min-agg (the
+    minimum label flows one hop along edges), so rounds = component
+    DIAMETER. LSH near-dup components are clique-shaped (every member
+    pairs with most others), so real corpora converge in 2-4 rounds —
+    a handful of shuffles at 100 TB, each size O(|pairs|), with a
+    convergence check (one `limit(1).count()` probe) per round.
+    ``max_iter`` exceeded raises (fail-loud, never a silently-partial
+    clustering)."""
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (e.unionByName(e.select(F.col("b").alias("a"),
+                                    F.col("a").alias("b")))
+             .distinct().cache())
+    labels = (edges.select(F.col("a").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id")).cache())
+    try:
+        for _ in range(max_iter):
+            nmin = (
+                edges.join(labels.select(F.col("doc_id").alias("b"),
+                                         F.col("label").alias("_bl")), on="b")
+                .groupBy("a").agg(F.min("_bl").alias("_nmin"))
+                .select(F.col("a").alias("doc_id"), "_nmin"))
+            new = (
+                labels.join(nmin, on="doc_id", how="left")
+                .select("doc_id",
+                        F.least(F.col("label"),
+                                F.coalesce("_nmin", F.col("label")))
+                        .alias("label"))
+                .cache())
+            changed = (
+                new.join(labels.select("doc_id", F.col("label").alias("_old")),
+                         on="doc_id")
+                .where(F.col("label") != F.col("_old")).limit(1).count())
+            labels.unpersist()
+            labels = new
+            if changed == 0:
+                return labels.select("doc_id",
+                                     F.col("label").alias("cluster_id"))
+        raise RuntimeError(
+            f"near-dup clustering did not converge in {max_iter} rounds "
+            f"(component diameter > {max_iter}?)")
+    finally:
+        edges.unpersist()
+
+
+def distinct_by_cluster(docs: DataFrame, clusters: DataFrame, *,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Keep ONE doc per near-dup cluster (the canonical min-id member):
+    anti-join the non-canonical members — no window, no skew-sensitive
+    per-cluster partitioning."""
+    losers = (clusters.where(F.col("doc_id") != F.col("cluster_id"))
+              .select(F.col("doc_id").alias(id_col)))
+    return docs.join(losers, on=id_col, how="left_anti")
