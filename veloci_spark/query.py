@@ -80,51 +80,69 @@ class Term:
     is_regex: bool = False
 
 
+@dataclass(frozen=True)
+class QueryParserOptions:
+    """Reference ``QueryParserOptions`` (query_generator.rs, used by the
+    code-search tests): selectively disable parser features so pasted code
+    survives as a literal query. The reference's field spelling
+    ``no_levensthein`` is kept for API parity."""
+
+    no_parentheses: bool = False
+    no_attributes: bool = False
+    no_levensthein: bool = False
+
+
+_DEFAULT_PARSER_OPTIONS = QueryParserOptions()
+
 _TOKEN_RE = re.compile(
     r'\s*(?:(?P<lparen>\()|(?P<rparen>\))|(?P<quoted>"(?:[^"\\]|\\.)*")'
     r"|(?P<word>[^\s()]+))"
 )
 
+# no_parentheses: ( and ) are ordinary word characters
+_TOKEN_RE_NOPAREN = re.compile(
+    r'\s*(?:(?P<quoted>"(?:[^"\\]|\\.)*")|(?P<word>\S+))'
+)
 
-def _lex(q: str) -> list:
+
+def _lex(q: str, options: QueryParserOptions = _DEFAULT_PARSER_OPTIONS) -> list:
     out = []
     pos = 0
+    tok_re = _TOKEN_RE_NOPAREN if options.no_parentheses else _TOKEN_RE
     while pos < len(q):
-        m = _TOKEN_RE.match(q, pos)
+        m = tok_re.match(q, pos)
         if not m or m.end() == pos:
             break
         pos = m.end()
-        if m.group("lparen"):
+        if not options.no_parentheses and m.group("lparen"):
             out.append("(")
-        elif m.group("rparen"):
+        elif not options.no_parentheses and m.group("rparen"):
             out.append(")")
         elif m.group("quoted") is not None:
             body = m.group("quoted")[1:-1].replace('\\"', '"')
-            out.append(Term(body, quoted=True))
+            # wildcards inside quotes still pattern-match (the reference's
+            # token_code_phrase_pattern case: quoting shields the PARSER,
+            # not the wildcard expansion)
+            if "*" in body:
+                body, sw, rx = _apply_wildcards(body)
+                out.append(Term(body, quoted=True, starts_with=sw,
+                                is_regex=rx))
+            else:
+                out.append(Term(body, quoted=True))
         else:
             w = m.group("word")
             if w in ("AND", "OR"):
                 out.append(w)
             else:
-                out.append(_parse_word(w))
+                out.append(_parse_word(w, options))
     return out
 
 
-def _parse_word(w: str) -> Term:
-    field = None
-    if ":" in w:
-        maybe_field, rest = w.split(":", 1)
-        if maybe_field and rest:
-            field, w = maybe_field, rest
-    lev = None
-    m = re.search(r"~(\d+)$", w)
-    if m:
-        lev = int(m.group(1))
-        w = w[: m.start()]
-    # wildcard handling (query_parser_to_veloci_request.rs:44-63): a single
-    # TRAILING * → fuzzy-compatible prefix search; any REMAINING * → the term
-    # becomes a regex (escape the literal parts, join with .*) and fuzzy is
-    # off. starts_with survives alongside regex (regex prefix match).
+def _apply_wildcards(w: str):
+    """Wildcard handling (query_parser_to_veloci_request.rs:44-63): a single
+    TRAILING * → fuzzy-compatible prefix search; any REMAINING * → the term
+    becomes a regex (escape the literal parts, join with .*) and fuzzy is
+    off. starts_with survives alongside regex (regex prefix match)."""
     starts_with = False
     if w.endswith("*") and len(w) > 1:
         starts_with = True
@@ -132,6 +150,24 @@ def _parse_word(w: str) -> Term:
     is_regex = "*" in w
     if is_regex:
         w = ".*".join(re.escape(p) for p in w.split("*"))
+    return w, starts_with, is_regex
+
+
+def _parse_word(w: str,
+                options: QueryParserOptions = _DEFAULT_PARSER_OPTIONS) -> Term:
+    field = None
+    if ":" in w and not options.no_attributes:
+        maybe_field, rest = w.split(":", 1)
+        if maybe_field and rest:
+            field, w = maybe_field, rest
+    lev = None
+    if not options.no_levensthein:
+        m = re.search(r"~(\d+)$", w)
+        if m:
+            lev = int(m.group(1))
+            w = w[: m.start()]
+    w, starts_with, is_regex = _apply_wildcards(w)
+    if is_regex:
         lev = None
     return Term(w, field=field, levenshtein=lev, starts_with=starts_with,
                 is_regex=is_regex)
@@ -182,9 +218,9 @@ class _Parser:
         return {"term": tok}
 
 
-def parse_query(q: str):
+def parse_query(q: str, options: QueryParserOptions | None = None):
     """Query string → AST of {"or"/"and": [..]} / {"term": Term} nodes."""
-    return _Parser(_lex(q)).parse()
+    return _Parser(_lex(q, options or _DEFAULT_PARSER_OPTIONS)).parse()
 
 
 def _flatten(node):
@@ -210,11 +246,18 @@ def _flatten(node):
 # generator: AST → request
 
 
-def auto_levenshtein(term: str, limit: int = 1) -> int:
-    """0–2 chars → 0, 3–5 → 1, ≥6 → 2; capped by ``limit``
-    (query_generator.rs:85-99,129-132)."""
+def auto_levenshtein(term: str, limit: int = 1, *,
+                     wildcard: bool = False) -> int:
+    """0–2 chars → 0, 3–5 → 1, ≥6 → 2; capped by ``limit``. Wildcard
+    (trailing-``*`` prefix) terms use the reference's shifted band
+    (≤3 → 0, 4–5 → 1, ≥6 → 2) — prefix search IS fuzzy-compatible
+    (query_generator.rs:85-99,129-132; lev.starts_with() automaton in
+    search_field.rs:90-95)."""
     n = len(term)
-    d = 0 if n <= 2 else (1 if n <= 5 else 2)
+    if wildcard:
+        d = 0 if n <= 3 else (1 if n <= 5 else 2)
+    else:
+        d = 0 if n <= 2 else (1 if n <= 5 else 2)
     return min(d, limit)
 
 
@@ -262,7 +305,9 @@ def query_to_request(q: str, *, search_fields: list[str],
                      facets: list | None = None,
                      boost_fields: dict[str, float] | None = None,
                      boost_terms: dict[str, float] | None = None,
-                     filter_query: str | None = None) -> dict:
+                     filter_query: str | None = None,
+                     ignore_case: bool = True,
+                     parser_options: QueryParserOptions | None = None) -> dict:
     """Query string → engine request dict (SURVEY.md §2.5 generator).
 
     ``stopword_lists`` selects the reference's per-language lists (e.g.
@@ -273,9 +318,13 @@ def query_to_request(q: str, *, search_fields: list[str],
     that field (:85-132 boost per RequestSearchPart); ``boost_terms``
     {"term" or "field:term": factor} adds boost_term entries (:204-210);
     ``filter_query`` is parsed with levenshtein 0 and becomes the ids-only
-    filter subtree (:225-233).
+    filter subtree (:225-233); ``ignore_case=False`` makes wildcard/regex
+    patterns case-sensitive (:ignore_case, regex leaves only — plain terms
+    match through the lowercased dictionary like the reference);
+    ``parser_options`` disables parser features for pasted-code queries
+    (QueryParserOptions, test_code_search.rs:124-146).
     """
-    ast = parse_query(q)
+    ast = parse_query(q, parser_options)
     if ast is None:
         raise ValueError(f"empty query: {q!r}")
     if stopword_lists is not None:
@@ -298,13 +347,16 @@ def query_to_request(q: str, *, search_fields: list[str],
         if "term" in node:
             t: Term = node["term"]
             lev = t.levenshtein
-            if lev is None and not t.quoted and not t.starts_with and not t.is_regex:
-                lev = auto_levenshtein(t.text, levenshtein_auto_limit)
+            if lev is None and not t.quoted and not t.is_regex:
+                lev = auto_levenshtein(t.text, levenshtein_auto_limit,
+                                       wildcard=t.starts_with)
             leaf = {"terms": [t.text], "levenshtein_distance": lev or 0}
             if t.starts_with:
                 leaf["starts_with"] = True
             if t.is_regex:
                 leaf["is_regex"] = True
+                if not ignore_case:
+                    leaf["ignore_case"] = False
             if t.field is not None:
                 return {"search": leaf_for(leaf, t.field)}
             fields = search_fields

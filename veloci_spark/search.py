@@ -389,6 +389,11 @@ def _parse_tree(node: dict, leaves: list, dedup: dict):
         "top": leaf_req.get("top"),
         "skip": leaf_req.get("skip", 0),
     }
+    # case-SENSITIVE regex (reference ignore_case=Some(false)): every regex
+    # compile site uses IGNORECASE, so sensitivity is scoped into the
+    # pattern itself — no matcher plumbing, identical on every match path
+    if opts["is_regex"] and leaf_req.get("ignore_case", True) is False:
+        terms = [f"(?-i:{t})" for t in terms]
     boost = leaf_req.get("boost")
     children = []
     for t in terms:
