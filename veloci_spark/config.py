@@ -75,9 +75,9 @@ class IndexConfig:
     # zero Python workers — identical output (parity-tested), useful where
     # Python worker processes are unavailable or expensive.
     tokenizer_engine: str = "arrow"
-    # terms whose doc-frequency exceeds this fraction of the corpus get
-    # salted into multiple build-side groups (hot-term skew handling)
-    hot_term_df_ratio: float = 0.05
+    # NOTE: hot-term skew needs no config knob — the segment invariant
+    # (doc_id // segment_docs partitions every posting list structurally)
+    # bounds any single term's per-task row count by segment_docs.
 
     def field(self, name: str) -> FieldConfig:
         for f in self.fields:

@@ -24,7 +24,7 @@ def _doc_leaf_entries(index, leaves, doc_ids):
     from the postings of the matched dictionary terms (identity leaves are
     resolved against the doc store)."""
     from veloci_spark.search import (IDENTITY_STORED, _identity_scores,
-                                     _stored_to_f32)
+                                     _stored_to_f32, _tid_pushdown_pred)
     from veloci_spark.vbyte import unpack_postings
 
     # bm25 indexes skip the f16 read quantization in the kernel
@@ -49,17 +49,23 @@ def _doc_leaf_entries(index, leaves, doc_ids):
         rows = (
             index.postings
             .where(F.col("segment").isin(segs))
-            .where(F.col("field").isin(fields) & F.col("term_id").isin(tids))
+            .where(F.col("field").isin(fields)
+                   & _tid_pushdown_pred(F.col("term_id"), tids))
             .select("field", "term_id", "segment", "docs_bin", "scores_bin")
             .toPandas()
         )
         for _, r in rows.iterrows():
+            # past the In cap the pushdown is a (min,max) range — superset
+            # rows resolve to no matched leaf and are skipped here
+            entries = tid_rows.get((r["field"], int(r["term_id"])))
+            if not entries:
+                continue
             docs, stored = unpack_postings(r["docs_bin"], r["scores_bin"])
             docs = docs + int(r["segment"]) * segment_docs
             present = np.isin(docs, want)
             if not present.any():
                 continue
-            for leaf_id, term, tscore in tid_rows[(r["field"], int(r["term_id"]))]:
+            for leaf_id, term, tscore in entries:
                 for d, s in zip(docs[present], stored[present]):
                     fin = _F32(tscore * _stored_to_f32(
                         np.array([s], dtype=np.uint32), quantize_f16)[0])

@@ -355,12 +355,16 @@ def simhash_near_duplicates(docs: DataFrame, *, text_col: str = "text",
 def ngram_jaccard_pairs(docs: DataFrame, *, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.5,
-                        max_shingle_df: int | None = 1_000) -> DataFrame:
+                        max_shingle_df: int | None = 10_000) -> DataFrame:
     """Exact Jaccard over word n-gram shingle sets for pairs sharing ≥1
     shingle: |A∩B| from the inverted join, |A|,|B| from per-doc counts —
     pure joins + aggregations, fully JVM-side. Shingles in more than
-    ``max_shingle_df`` docs are excluded (hot-key quadratic-join guard;
-    default 1k → ≤ ~5·10⁵ join rows per maximal shingle).
+    ``max_shingle_df`` docs are excluded (hot-key quadratic-join guard).
+    The default matches :func:`minhash_near_duplicates` (10k) so the two
+    operators see the same shingle universe; pass a tighter cap explicitly
+    to trade exactness for join size (ADVICE r3: the tightening must be the
+    caller's visible choice, not a silent default change to an operator
+    documented as EXACT).
 
     This operator is EXACT but inherently quadratic per shared shingle —
     use it for verification and modest corpora. The 100 TB path is

@@ -286,7 +286,10 @@ def _eval_scored(index: "RefIndex", node: dict) -> tuple[str, dict]:
         hits = index.resolve_leaf(field, matched)
         if boost is not None:
             hits = {d: np.float32(s * np.float32(boost)) for d, s in hits.items()}
-        legs.append((t.lower(), hits))
+        # tag identity: lowercased term; regex patterns keep the RAW pattern
+        # (lowering mutates pattern semantics — `\W` → `\w`; case-sensitive
+        # `(?-i:...)` variants must stay distinct)
+        legs.append((t if opts["is_regex"] else t.lower(), hits))
     if len(legs) == 1:
         return legs[0]
     tag = "or(" + ",".join(t for t, _ in legs) + ")"
@@ -323,7 +326,8 @@ def _scored_leaves(index: "RefIndex", node: dict) -> list[tuple[str, set]]:
     field = leaf_req["path"]
     terms = leaf_req.get("terms") or [leaf_req["term"]]
     opts = _leaf_opts(leaf_req)
-    return [(t.lower(), index.leaf_ids(field, index.match_terms(field, t, **opts)))
+    return [(t if opts["is_regex"] else t.lower(),
+             index.leaf_ids(field, index.match_terms(field, t, **opts)))
             for t in terms]
 
 

@@ -129,7 +129,7 @@ def ingest_batch(spark: SparkSession, df: DataFrame, config: IndexConfig,
         with_ids = local.withColumn("_gid", F.col("doc_id") + F.lit(base)) \
             .drop("doc_id")
     # replace() carries EVERY config field (scoring, num_segments,
-    # hot_term_df_ratio, future additions) — re-enumerating the constructor
+    # future additions) — re-enumerating the constructor
     # silently dropped scoring, so bm25-configured streams built
     # veloci-scored generations.
     gen_config = dataclasses.replace(config, doc_id_col="_gid")
