@@ -291,13 +291,32 @@ class TestMidWordWildcard:
 
 
 class TestNumHits:
-    def test_plain_query_reports_lower_bound(self, spark_index):
+    """num_hits is reference-exact on EVERY path (search_result.rs:8-26;
+    count assertions in the spirit of tests_large.rs:41-113): the truncating
+    WAND kernels report per-segment counts via ids-only decode of the rows
+    they skip, so a plain top-k response carries the true total without a
+    full materialization."""
+
+    def test_plain_topk_is_exact(self, spark_index, ref_index):
+        from veloci_spark import pyref
         from veloci_spark.search import search
 
-        res = search(spark_index, {"search": {"terms": ["will"], "path": "text"},
-                                   "top": 3})
-        assert not res["num_hits_exact"]
-        assert res["num_hits"] == len(res["data"]) <= 3
+        for req in (
+            {"search": {"terms": ["will"], "path": "text"}, "top": 3},
+            {"search": {"terms": ["majestätischer"], "path": "text"},
+             "top": 2},
+            {"or": [{"search": {"terms": ["will"], "path": "text"}},
+                    {"search": {"terms": ["urge"], "path": "text"}}],
+             "top": 3},
+            {"and": [{"search": {"terms": ["die"], "path": "text"}},
+                     {"search": {"terms": ["der"], "path": "text"}}],
+             "top": 2},
+        ):
+            res = search(spark_index, req)
+            want = pyref.search_request(ref_index, {**req, "top": 10**9})
+            assert res["num_hits_exact"], req
+            assert res["num_hits"] == len(want), req
+            assert len(res["data"]) <= req["top"]
 
     def test_exact_count_matches_oracle(self, spark_index, ref_index):
         from veloci_spark import pyref
@@ -306,10 +325,13 @@ class TestNumHits:
         req = {"or": [{"search": {"terms": ["will"], "path": "text"}},
                       {"search": {"terms": ["urge"], "path": "text"}}], "top": 3}
         res = search(spark_index, {**req, "exact_count": True})
+        fast = search(spark_index, req)
         want = pyref.search_request(ref_index, {**req, "top": 10**9})
-        assert res["num_hits_exact"]
-        assert res["num_hits"] == len(want)
+        assert res["num_hits_exact"] and fast["num_hits_exact"]
+        assert res["num_hits"] == fast["num_hits"] == len(want)
         assert len(res["data"]) == 3
+        # and the truncated path returns the same ranked page
+        assert res["data"] == fast["data"]
 
 
 class TestSuggestMulti:

@@ -201,3 +201,121 @@ class TestDeletes:
                            "top": 10})
         new_ids = {d["doc_id"] for d in res2["data"]}
         assert new_ids and all(i >= 30 for i in new_ids)
+
+
+def _facet_rows(start, n, stamp):
+    langs = ["en", "de", "fr"]
+    return [
+        {"url": f"https://example.org/{stamp}/{i:04d}",
+         "text": f"streaming spark batch {stamp} doc number {i} with query terms",
+         "lang": langs[i % 3]}
+        for i in range(start, start + n)
+    ]
+
+
+class TestMultiIndexResultShape:
+    """VERDICT r3 #7: the streamed (MultiIndex) path returns the full
+    reference result shape — facets, select, why_found, suggest, exact
+    num_hits — merged across generations."""
+
+    def test_facets_match_compacted(self, spark, stream_cfg, tmp_path):
+        from veloci_spark.search import FulltextIndex, search
+        from veloci_spark.streaming import MultiIndex, compact, ingest_batch
+
+        root = str(tmp_path / "root")
+        ingest_batch(spark, spark.createDataFrame(_facet_rows(0, 21, "a")),
+                     stream_cfg, root)
+        ingest_batch(spark, spark.createDataFrame(_facet_rows(0, 14, "b")),
+                     stream_cfg, root)
+        req = {"search": {"terms": ["spark"], "path": "text"},
+               "facets": [{"field": "lang", "top": 5}], "top": 5}
+        multi = MultiIndex(spark, root).search(req)
+        compact(spark, root, stream_cfg)
+        mi2 = MultiIndex(spark, root)
+        one = FulltextIndex(spark, mi2.gens[0]["dir"])
+        direct = search(one, req)
+        # facet counts over 2 generations == the compacted single index's
+        # (hit membership is statistics-independent)
+        assert multi["facets"] == direct["facets"]
+        assert multi["num_hits"] == direct["num_hits"] == 35
+        assert multi["num_hits_exact"]
+
+    def test_select_and_why_found_across_generations(self, spark, stream_cfg,
+                                                     tmp_path):
+        from veloci_spark.streaming import MultiIndex, ingest_batch
+
+        root = str(tmp_path / "root")
+        ingest_batch(spark, spark.createDataFrame(_batch_rows(0, 8, "a")),
+                     stream_cfg, root)
+        ingest_batch(spark, spark.createDataFrame(_batch_rows(0, 8, "b")),
+                     stream_cfg, root)
+        res = MultiIndex(spark, root).search(
+            {"search": {"terms": ["spark"], "path": "text"},
+             "select": ["url", "lang"], "why_found": True, "top": 16})
+        assert len(res["data"]) == 16
+        for d in res["data"]:
+            stamp = "a" if d["doc_id"] < 8 else "b"
+            assert f"/{stamp}/" in d["doc"]["url"]  # routed to its generation
+            assert d["doc"]["lang"] == "en"
+            assert "spark" in " ".join(d["why_found"].get("text", [])).lower()
+
+    def test_suggest_across_generations(self, spark, stream_cfg, tmp_path):
+        from veloci_spark.search import FulltextIndex, suggest
+        from veloci_spark.streaming import MultiIndex, ingest_batch
+
+        root = str(tmp_path / "root")
+        ingest_batch(spark, spark.createDataFrame(_batch_rows(0, 8, "a")),
+                     stream_cfg, root)
+        ingest_batch(spark, spark.createDataFrame(
+            [{"url": "https://example.org/c/0", "lang": "en",
+              "text": "strawberry fields and spark streams"}]),
+            stream_cfg, root)
+        mi = MultiIndex(spark, root)
+        got = mi.suggest("text", "str", top=10)
+        texts = [t for t, _s in got]
+        # terms from BOTH generations, deduped
+        assert "streaming" in texts and "strawberry" in texts
+        assert len(texts) == len(set(texts))
+        # per-generation scores merge exactly like a single index's
+        one = suggest(FulltextIndex(spark, mi.gens[0]["dir"]), "text", "str",
+                      top=10)
+        d_one = dict(one)
+        for t, s in got:
+            if t in d_one:
+                assert s == d_one[t]
+
+    def test_num_hits_with_deletes(self, spark, stream_cfg, tmp_path):
+        from veloci_spark.streaming import MultiIndex, delete_docs, ingest_batch
+
+        root = str(tmp_path / "root")
+        ingest_batch(spark, spark.createDataFrame(_batch_rows(0, 20, "a")),
+                     stream_cfg, root)
+        req = {"search": {"terms": ["spark"], "path": "text"}, "top": 3}
+        assert MultiIndex(spark, root).search(req)["num_hits"] == 20
+        delete_docs(spark, root, [0, 1])
+        mi = MultiIndex(spark, root)
+        fast = mi.search(req)
+        # truncated path with tombstones: count is an upper-bound estimate
+        assert not fast["num_hits_exact"]
+        assert fast["num_hits"] >= 18
+        exact = mi.search({**req, "exact_count": True})
+        assert exact["num_hits_exact"] and exact["num_hits"] == 18
+        # per-SEGMENT tombstone accounting (ADVICE r3): only the victims'
+        # segment is inflated (segment_docs=16 -> ids 0,1 live in segment 0)
+        assert mi._seg_extra == {0: {0: 2}}
+        # driver-side tombstone set routes get_doc without a Spark job
+        assert mi._del_set == frozenset({0, 1})
+        assert mi.get_doc(0) is None and mi.get_doc(2) is not None
+        mi.close()
+
+    def test_should_compact_advisory(self, spark, stream_cfg, tmp_path):
+        from veloci_spark.streaming import MultiIndex, delete_docs, ingest_batch
+
+        root = str(tmp_path / "root")
+        ingest_batch(spark, spark.createDataFrame(_batch_rows(0, 20, "a")),
+                     stream_cfg, root)
+        assert not MultiIndex(spark, root).should_compact()
+        delete_docs(spark, root, list(range(5)))  # 25% tombstoned
+        assert MultiIndex(spark, root).should_compact()
+        assert not MultiIndex(spark, root).should_compact(max_delete_ratio=0.5)
+        assert MultiIndex(spark, root).should_compact(max_generations=0)

@@ -169,6 +169,11 @@ def index_stream(stream_df: DataFrame, config: IndexConfig, root_dir: str,
 class MultiIndex:
     """Query handle over all generations of a streamed index root."""
 
+    # tombstone sets up to this size are collected ONCE into a driver-side
+    # frozenset so get_doc routing is a dict lookup, not a Spark job per
+    # call (ADVICE r3); larger sets stay distributed
+    LOCAL_DELETES_MAX = 1_000_000
+
     def __init__(self, spark: SparkSession, root_dir: str):
         from veloci_spark.search import FulltextIndex
 
@@ -177,23 +182,47 @@ class MultiIndex:
         self.gens = _read_gens(root_dir)
         self.indexes = [(g, FulltextIndex(spark, g["dir"])) for g in self.gens]
         self.deletes = _deletes_df(spark, root_dir)
-        # per-generation tombstone counts (one aggregation job, ranges
-        # broadcast): needed to inflate each generation's top-k so deleted
-        # docs cannot evict live ones from the truncated per-segment top-k
+        # per-(generation, SEGMENT) tombstone counts (one aggregation job,
+        # ranges broadcast): each segment's top-k is inflated by ITS OWN
+        # tombstone count — not the generation-wide total — so a
+        # heavily-deleted index never blows up every segment's k
+        # (ADVICE r3: generation-wide inflation effectively disabled WAND
+        # past a few thousand deletes)
+        self._seg_extra: dict[int, dict[int, int]] = {}
         self._del_counts: dict[int, int] = {}
+        self._del_set: frozenset | None = frozenset()
         self.n_deletes = 0
         if self.deletes is not None and self.gens:
             self.deletes = self.deletes.cache()
             ranges = spark.createDataFrame(
-                [(g["gen"], g["base"], _gen_hi(g)) for g in self.gens],
-                "gen int, lo long, hi long")
+                [(g["gen"], g["base"], _gen_hi(g),
+                  int(idx.manifest["segment_docs"]))
+                 for g, idx in self.indexes],
+                "gen int, lo long, hi long, segd long")
             d = self.deletes
             rows = (d.join(F.broadcast(ranges),
                            (d["doc_id"] >= ranges["lo"])
                            & (d["doc_id"] < ranges["hi"]))
-                    .groupBy("gen").count().collect())
-            self._del_counts = {r["gen"]: int(r["count"]) for r in rows}
+                    .groupBy("gen", F.floor(d["doc_id"] / F.col("segd"))
+                             .cast("int").alias("seg"))
+                    .count().collect())
+            for r in rows:
+                self._seg_extra.setdefault(int(r["gen"]), {})[int(r["seg"])] \
+                    = int(r["count"])
+            self._del_counts = {g: sum(v.values())
+                                for g, v in self._seg_extra.items()}
             self.n_deletes = sum(self._del_counts.values())
+            if self.n_deletes <= self.LOCAL_DELETES_MAX:
+                self._del_set = frozenset(
+                    r["doc_id"] for r in self.deletes.collect())
+            else:
+                self._del_set = None  # too large: stay distributed
+
+    def close(self):
+        """Release the cached tombstone DataFrame (the MultiIndex handle is
+        cheap to rebuild; the cache is not tied to its lifetime otherwise)."""
+        if self.deletes is not None:
+            self.deletes.unpersist()
 
     @property
     def n_docs(self) -> int:
@@ -204,29 +233,58 @@ class MultiIndex:
         """Docs visible to search: ingested minus tombstoned."""
         return self.n_docs - self.n_deletes
 
+    def should_compact(self, max_delete_ratio: float = 0.1,
+                       max_generations: int = 16) -> bool:
+        """Advisory: True when tombstones exceed ``max_delete_ratio`` of the
+        corpus or the generation count passed ``max_generations`` — the two
+        states where query cost degrades (per-segment k inflation resp. one
+        kernel fan-out per generation). Callers decide when to actually run
+        :func:`compact`; nothing here mutates state."""
+        if self.n_docs and self.n_deletes / self.n_docs > max_delete_ratio:
+            return True
+        return len(self.gens) > max_generations
+
     def search(self, request: dict) -> dict:
         """Ranked search across generations: per-generation evaluation
         (segment-local, unchanged), global (score DESC, doc_id DESC) merge.
-        Returns the reference result shape (data + num_hits fields)."""
+        Returns the reference result shape — data, num_hits, and (when
+        requested) facets / select / why_found, all merged across
+        generations.
+
+        num_hits is exact when there are no tombstones (sum of the
+        generations' exact per-segment counts) or when the request forces a
+        full evaluation (facets / why_found / exact_count / boost — the
+        live hit set is then materialized and counted); otherwise the
+        per-segment counts still include tombstoned docs and the reported
+        count is an upper-bound estimate with ``num_hits_exact: False``.
+        """
         import numpy as np
 
         from veloci_spark.search import (_apply_anchor_boosts,
-                                         _apply_post_locality, _search_hits)
+                                         _apply_post_locality, _search_hits,
+                                         select_docs)
 
         top = request.get("top", 10)
         skip = request.get("skip", 0)
+        need_all = (bool(request.get("facets"))
+                    or bool(request.get("exact_count"))
+                    or bool(request.get("why_found"))
+                    or bool(request.get("boost")))
         merged = None
-        exact = True
+        gen_ctx = []  # (gen record, index, leaves) for select/why_found
+        emitted_all = True
         for _g, idx in self.indexes:
-            ndel = self._del_counts.get(_g["gen"], 0)
             gen_req = request
-            if ndel:
-                # widen this generation's candidate set by its tombstone
-                # count: at most ndel of its per-segment top-k slots can be
-                # occupied by deleted docs, so k+ndel live candidates always
+            extra = self._seg_extra.get(_g["gen"])
+            if extra:
+                # widen each segment's candidate set by ITS tombstone
+                # count: at most that many of the segment's top-k slots can
+                # be occupied by deleted docs, so k live candidates always
                 # survive the kernel truncation
-                gen_req = {**request, "top": top + skip + ndel, "skip": 0}
-            hits, plan, leaves = _search_hits(idx, gen_req, need_all=False)
+                gen_req = {**request, "_seg_top_extra": extra}
+            hits, plan, leaves = _search_hits(idx, gen_req,
+                                              need_all=need_all,
+                                              count_hits=True)
             # mirror search(): nested fields disable kernel locality and
             # expect this post-pass — without it streamed nested indexes
             # silently dropped the text_locality boost.
@@ -234,27 +292,128 @@ class MultiIndex:
                 hits = _apply_post_locality(idx, hits, leaves,
                                             plan["scored_leaf_ids"])
             hits = _apply_anchor_boosts(idx, hits, request, leaves)
-            exact = exact and plan.get("top") is None
+            emitted_all = emitted_all and plan.get("top") is None
+            gen_ctx.append((_g, idx, leaves))
             merged = hits if merged is None else merged.unionByName(hits)
         if merged is None:
             return {"num_hits": 0, "num_hits_exact": True, "data": []}
-        if self.deletes is not None:
-            merged = merged.join(self.deletes, on="doc_id", how="left_anti")
-        ranked = merged.orderBy(F.desc("score"), F.desc("doc_id")) \
+
+        has_deletes = self.deletes is not None and self.n_deletes > 0
+        # cache the PARENT of both views: every job below (counts, ranking,
+        # facets) recomputes at most the cheap anti-join on top of it
+        merged = merged.cache()
+        if has_deletes:
+            # seg_hits counts were taken BEFORE tombstone filtering
+            live = merged.join(self.deletes, on="doc_id", how="left_anti")
+        else:
+            live = merged
+        if emitted_all:
+            num_hits = live.count()  # full live hit set: exact
+            exact = True
+        elif not has_deletes:
+            num_hits = int(merged.agg(F.sum("seg_hits")).first()[0] or 0)
+            exact = True
+        else:
+            # truncated candidates + tombstones: per-segment counts still
+            # include deleted docs — upper bound, flagged inexact
+            num_hits = int(merged.agg(F.sum("seg_hits")).first()[0] or 0)
+            exact = False
+        ranked = live.orderBy(F.desc("score"), F.desc("doc_id")) \
             .limit(top + skip).collect()[skip:]
-        return {
-            "num_hits": len(ranked),
+        out = {
+            "num_hits": num_hits,
             "num_hits_exact": exact,
             "data": [{"doc_id": r["doc_id"],
                       "score": float(np.float32(r["score"]))} for r in ranked],
         }
+        facet_specs = request.get("facets") or []
+        if facet_specs:
+            # per-generation value sources unioned (doc ids are global), the
+            # live hit set broadcast when small — counts merge by SUM per
+            # value across generations, then global (count DESC, value ASC)
+            bhits = live.select("doc_id")
+            if num_hits <= 1_000_000:
+                bhits = F.broadcast(bhits)
+            facets = {}
+            for spec in facet_specs:
+                fld = spec["field"]
+                ftop = spec.get("top", 10)
+                src = None
+                for _g, idx, _l in gen_ctx:
+                    if fld in idx.values:
+                        part = idx.values[fld].select(
+                            "doc_id", F.col("value").alias("_fv"))
+                    else:
+                        part = idx.docs.select("doc_id",
+                                               F.col(fld).alias("_fv"))
+                    src = part if src is None else src.unionByName(part)
+                fc = (src.join(bhits, on="doc_id")
+                      .groupBy("_fv").count()
+                      .orderBy(F.desc("count"), F.asc("_fv"))
+                      .limit(ftop).collect())
+                facets[fld] = [(r["_fv"], r["count"]) for r in fc]
+            out["facets"] = facets
+        if request.get("select"):
+            ids = [d["doc_id"] for d in out["data"]]
+            by_id: dict[int, dict] = {}
+            for _g, idx, _l in gen_ctx:
+                ids_g = [i for i in ids if _g["base"] <= i < _gen_hi(_g)]
+                if ids_g:
+                    by_id.update(select_docs(idx, ids_g, request["select"]))
+            for d in out["data"]:
+                d["doc"] = by_id.get(d["doc_id"], {})
+        if request.get("why_found"):
+            from veloci_spark.highlight import why_found as _why
+
+            ids = [d["doc_id"] for d in out["data"]]
+            wf: dict[int, dict] = {}
+            for _g, idx, leaves in gen_ctx:
+                ids_g = [i for i in ids if _g["base"] <= i < _gen_hi(_g)]
+                if ids_g:
+                    wf.update(_why(idx, ids_g, leaves))
+            for d in out["data"]:
+                d["why_found"] = wf.get(d["doc_id"], {})
+        merged.unpersist()
+        return out
+
+    def suggest(self, field: str, prefix: str, *, top: int = 10,
+                levenshtein: int = 0) -> list:
+        """Suggestions merged across generations: per-generation dictionary
+        matches, same lowercased text deduped keep-max, global score order
+        (term scores depend only on the query-term match, so the merge is
+        exact). Terms of tombstoned docs remain visible until compaction —
+        the Lucene-segment behavior."""
+        import numpy as np
+        import pandas as pd
+
+        from veloci_spark.search import match_terms
+
+        frames = [match_terms(idx, field, prefix, levenshtein=levenshtein,
+                              starts_with=True)
+                  for _g, idx in self.indexes]
+        frames = [f for f in frames if not f.empty]
+        if not frames:
+            return []
+        m = pd.concat(frames, ignore_index=True)
+        m = m.assign(lower=m["term"].str.lower())
+        best = m.sort_values(["score", "term_id"], ascending=[False, False],
+                             kind="mergesort").drop_duplicates("lower")
+        best = best.sort_values(["score", "term_id"],
+                                ascending=[False, False], kind="mergesort")
+        return [(r["lower"], float(np.float32(r["score"])))
+                for _, r in best.head(top).iterrows()]
 
     def get_doc(self, doc_id: int, columns=None):
         """Route a global doc id to its generation; tombstoned ids resolve
-        to None exactly like never-ingested ones."""
+        to None exactly like never-ingested ones. The tombstone check is a
+        driver-side set lookup when the set is small (the common case); a
+        Spark job only for >LOCAL_DELETES_MAX tombstone sets."""
         from veloci_spark.search import get_doc
 
-        if self.deletes is not None and \
+        if self._del_set is not None:
+            if doc_id in self._del_set:
+                return None
+        elif self.deletes is not None and \
                 self.deletes.where(F.col("doc_id") == doc_id).limit(1).count():
             return None
         for g, idx in self.indexes:
