@@ -440,6 +440,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "filter": {"search": {"terms": ["en"], "path": "lang"}},
         })
 
+    def ft_num_hits(spark, sf_dir):
+        # exact num_hits on the PLAIN top-k path (search_result.rs:8-26):
+        # the segment kernel emits per-segment hit counts alongside its
+        # truncated top-k, so a top-10 response still reports the true
+        # total without materializing the hit set (r4)
+        from veloci_spark.search import search as engine_search
+
+        idx = _get_index(spark, sf_dir)
+        shapes = {
+            "and": {"and": [{"search": {"terms": ["spark"], "path": "text"}},
+                            {"search": {"terms": ["query"], "path": "text"}}]},
+            "exact": {"search": {"terms": ["spark"], "path": "text"}},
+            "filtered": {"search": {"terms": ["spark"], "path": "text"},
+                         "filter": {"search": {"terms": ["en"],
+                                               "path": "lang"}}},
+            "or": {"or": [{"search": {"terms": ["spark"], "path": "text"}},
+                          {"search": {"terms": ["query"], "path": "text"}}]},
+        }
+        rows = []
+        for name, req in shapes.items():
+            res = engine_search(idx, dict(req, top=10))
+            assert res["num_hits_exact"] is True
+            rows.append((name, int(res["num_hits"])))
+        return spark.createDataFrame(rows, "shape string, num_hits long") \
+            .orderBy("shape")
+
     def ft_phrase_docs(spark, sf_dir):
         # B9: adjacent non-separator pair index (packed per (pair, segment)
         # since layout v6 — decode through phrase_doc_rows)
@@ -765,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_search_or_ids": ft_search_or_ids,
         "ft_search_and_ids": ft_search_and_ids,
         "ft_search_filtered_ids": ft_search_filtered_ids,
+        "ft_num_hits": ft_num_hits,
         "ft_phrase_docs": ft_phrase_docs,
         "ft_facet_lang": ft_facet_lang,
         "ft_dict_prefix": ft_dict_prefix,
@@ -852,6 +879,23 @@ WITH {runs}
 SELECT DISTINCT r.doc_id FROM runs r
 JOIN documents d ON d.doc_id = r.doc_id
 WHERE r.tok = 'spark' AND d.lang = 'en' ORDER BY r.doc_id
+"""
+
+    sql["ft_num_hits"] = f"""
+WITH {runs}
+SELECT 'and' AS shape, COUNT(*)::BIGINT AS num_hits FROM (
+  SELECT doc_id FROM runs WHERE tok IN ('spark', 'query')
+  GROUP BY doc_id HAVING COUNT(DISTINCT tok) = 2)
+UNION ALL
+SELECT 'exact', COUNT(DISTINCT doc_id)::BIGINT FROM runs WHERE tok = 'spark'
+UNION ALL
+SELECT 'filtered', COUNT(DISTINCT r.doc_id)::BIGINT FROM runs r
+JOIN documents d ON d.doc_id = r.doc_id
+WHERE r.tok = 'spark' AND d.lang = 'en'
+UNION ALL
+SELECT 'or', COUNT(DISTINCT doc_id)::BIGINT FROM runs
+WHERE tok IN ('spark', 'query')
+ORDER BY shape
 """
 
     sql["ft_phrase_docs"] = f"""

@@ -48,9 +48,18 @@ def main(argv=None):
         + [FieldConfig(f, tokenize=False, phrase_pairs=False, token_texts=False)
            for f in args.facet_fields.split(",") if f]
     )
-    config = IndexConfig(fields=fields, doc_id_col=args.doc_id_col,
-                         order_col=args.order_col, segment_docs=args.segment_docs)
     docs = spark.read.parquet(args.input)
+    doc_id_col = args.doc_id_col
+    if doc_id_col is None and args.order_col not in docs.columns:
+        # out-of-the-box on inputs without the default order column: a
+        # pre-existing doc_id column wins; else fail with the column list
+        if "doc_id" in docs.columns:
+            doc_id_col = "doc_id"
+        else:
+            ap.error(f"--order-col {args.order_col!r} not in input columns "
+                     f"{docs.columns}; pass --order-col or --doc-id-col")
+    config = IndexConfig(fields=fields, doc_id_col=doc_id_col,
+                         order_col=args.order_col, segment_docs=args.segment_docs)
     manifest = build_index(spark, docs, config, args.output)
     json.dump(manifest, sys.stdout, indent=2)
     print()
