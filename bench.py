@@ -65,15 +65,17 @@ def make_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        # one JVM serving N task threads + shuffle buffers. Fixed pre-touched
-        # heap (Xms=Xmx, AlwaysPreTouch): the JVM faults its whole heap in
-        # ONCE at startup (outside the timed build) and never returns pages —
-        # this sandbox's kernel penalizes concurrent page (re)allocation
-        # heavily, and GC-driven heap growth was a large part of that churn.
+        # one JVM serving N task threads + shuffle buffers. Fixed heap
+        # (Xms=Xmx): G1 never uncommits below Xms, so pages fault in once
+        # and stay — GC-driven shrink/regrow churn was the dominant page
+        # churn on this sandbox's kernel. NOTE: AlwaysPreTouch and
+        # UseTransparentHugePages were measured HARMFUL in this sandbox's
+        # current state (multi-thread pre-touch collapses on the kernel's
+        # zone lock: 2 GiB THP pre-touch = 114 s on 2 pinned cores, 6 GiB
+        # non-THP = 213 s, vs lazy single-thread faulting at ~250 MB/s);
+        # lazy first-touch amortizes invisibly across the run instead.
         .config("spark.driver.memory", driver_mem)
-        .config("spark.driver.extraJavaOptions",
-                f"-Xms{driver_mem} -XX:+AlwaysPreTouch "
-                "-XX:+UseTransparentHugePages")
+        .config("spark.driver.extraJavaOptions", f"-Xms{driver_mem}")
         # split scans finer than the 128 MB default so a 32-thread run gets
         # enough scan tasks on a ~GB corpus; token parquet compresses ~4:1
         # into ~3 MB files, so the 4 MB default openCost would pack 4-5
@@ -271,6 +273,11 @@ def main_scaling():
                 cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             env = dict(os.environ, SPARK_LOCAL_IP="127.0.0.1",
                        PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
+            # scaling legs build a ~300 MB corpus; a deliberately modest
+            # fixed heap keeps first-touch faulting (lazy, see make_spark)
+            # off the critical path at low core counts
+            env["BENCH_DRIVER_MEM"] = os.environ.get(
+                "SCALE_DRIVER_MEM", os.environ.get("BENCH_DRIVER_MEM", "8g"))
             p = subprocess.run(cmd, capture_output=True, text=True, env=env,
                                timeout=3600)
             line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")]

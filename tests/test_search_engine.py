@@ -300,6 +300,25 @@ def test_facets(spark_index, ref_index, corpus):
     assert got == want
 
 
+def test_facet_path_ranking_matches_plain_path(spark_index):
+    # the emit-all path ranks via ONE partition-local count+top-k pass
+    # (_partition_topk_factory) instead of count() + TakeOrdered jobs; its
+    # ranking, paging, and num_hits must be identical to the plain path's
+    from veloci_spark.search import search
+
+    base = {"or": [{"search": {"terms": ["greg"], "path": "text"}},
+                   {"search": {"terms": ["text"], "path": "text"}}]}
+    for skip in (0, 2):
+        req = {**base, "top": 3, "skip": skip}
+        plain = search(spark_index, req)
+        facet = search(spark_index, {**req,
+                                     "facets": [{"field": "lang", "top": 5}]})
+        assert facet["num_hits"] == plain["num_hits"]
+        assert facet["num_hits_exact"] and plain["num_hits_exact"]
+        assert [(d["doc_id"], d["score"]) for d in facet["data"]] == \
+            [(d["doc_id"], d["score"]) for d in plain["data"]]
+
+
 def test_suggest(spark_index):
     from veloci_spark.search import suggest
 

@@ -1413,6 +1413,46 @@ def _hits_pdf(ids: np.ndarray, scores: np.ndarray, n_hits: int) -> pd.DataFrame:
                          "seg_hits": seg_hits})
 
 
+def _partition_topk_factory(k: int):
+    """mapInPandas kernel: one output group per partition carrying the
+    partition's exact row count (``cnt`` on the first row, seg_hits-style)
+    plus its k best rows by (score DESC, doc_id DESC). Running it over a
+    just-cached hit set materializes the cache AND replaces both the
+    count() pass and the TakeOrdered ranking pass with a single job; the
+    driver merge over partitions × k rows is the same bounded shape as the
+    plain top-k path's."""
+    k = max(k, 1)
+
+    def fn(iterator):
+        ids_parts, sc_parts, n = [], [], 0
+        pending = 0
+        for pdf in iterator:
+            n += len(pdf)
+            if not len(pdf):
+                continue
+            ids_parts.append(pdf["doc_id"].to_numpy(np.int64))
+            sc_parts.append(pdf["score"].to_numpy(_F32))
+            pending += len(pdf)
+            if pending > 4 * k and len(ids_parts) > 1:
+                # compact the running state so memory stays O(k + batch)
+                ids = np.concatenate(ids_parts)
+                sc = np.concatenate(sc_parts)
+                order = np.lexsort((-ids, -sc.astype(np.float64)))[:k]
+                ids_parts, sc_parts = [ids[order]], [sc[order]]
+                pending = len(order)
+        if not n:
+            return
+        ids = np.concatenate(ids_parts)
+        sc = np.concatenate(sc_parts)
+        order = np.lexsort((-ids, -sc.astype(np.float64)))[:k]
+        cnt = np.zeros(len(order), dtype=np.int64)
+        cnt[0] = n
+        yield pd.DataFrame({"doc_id": ids[order], "score": sc[order],
+                            "cnt": cnt})
+
+    return fn
+
+
 def _segment_kernel_factory(plan: dict, scored_leaf_ids: set):
     count_hits = bool(plan.get("count_hits"))
     top_extra = {int(s): int(n) for s, n in (plan.get("top_extra") or {}).items()}
@@ -1516,10 +1556,16 @@ def search(index: FulltextIndex, request: dict) -> dict:
     hits = _apply_anchor_boosts(index, hits, request, leaves)
     top = request.get("top", 10)
     skip = request.get("skip", 0)
-    rows = None
     if need_all:
         hits = hits.cache()
-        num_hits = hits.count()  # materializes the cache for the jobs below
+        # ONE job materializes the cache AND returns each partition's exact
+        # row count + its (top+skip) best rows — the separate count() pass
+        # and the TakeOrdered ranking pass collapse into it (r4)
+        rows = (hits.select("doc_id", "score")
+                .mapInPandas(_partition_topk_factory(top + skip),
+                             schema="doc_id long, score float, cnt long")
+                .collect())
+        num_hits = int(sum(r["cnt"] for r in rows))
     else:
         # plain top-k: the kernel output is bounded — ≤ k hits + the exact
         # count per segment — so ONE action collects it all and the driver
@@ -1529,9 +1575,6 @@ def search(index: FulltextIndex, request: dict) -> dict:
         num_hits = int(sum(r["seg_hits"] for r in rows))
 
     def _ranked():
-        if rows is None:
-            return hits.orderBy(F.desc("score"), F.desc("doc_id")) \
-                .limit(top + skip).collect()
         if not rows:
             return []
         ids = np.fromiter((r["doc_id"] for r in rows), np.int64, len(rows))
@@ -1570,18 +1613,19 @@ def search(index: FulltextIndex, request: dict) -> dict:
             )
             return fld, [(r["_fv"], r["count"]) for r in fc]
 
-        # the cache is materialized — the ranking job and every facet job
-        # read it without recomputing, so run them CONCURRENTLY (each is a
-        # separate Spark job; wall time = the slowest one, not the sum)
+        # the cache is materialized (the count+top-k pass above) and ranking
+        # is a driver-side merge — only the facet jobs touch Spark; run them
+        # CONCURRENTLY (wall time = the slowest one, not the sum)
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=1 + len(facet_specs)) as ex:
-            ranked_f = ex.submit(_ranked)
-            facet_fs = [ex.submit(_facet, s) for s in facet_specs]
-            ranked = ranked_f.result()
-            for ff in facet_fs:
-                fld, vals = ff.result()
-                facets[fld] = vals
+        ranked = _ranked()
+        if len(facet_specs) == 1:
+            fld, vals = _facet(facet_specs[0])
+            facets[fld] = vals
+        else:
+            with ThreadPoolExecutor(max_workers=len(facet_specs)) as ex:
+                for fld, vals in ex.map(_facet, facet_specs):
+                    facets[fld] = vals
     else:
         ranked = _ranked()
     ranked = ranked[skip:]
