@@ -440,6 +440,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "filter": {"search": {"terms": ["en"], "path": "lang"}},
         })
 
+    def ft_fuzzy_ids(spark, sf_dir):
+        # Q2 through the engine kernel: fuzzy d=1 hit-id set (length-banded
+        # bounded levenshtein over the dictionary, then postings)
+        return _engine_hits_df(spark, sf_dir, {
+            "search": {"terms": ["spork"], "path": "text",
+                       "levenshtein_distance": 1},
+        })
+
+    def ft_regex_ids(spark, sf_dir):
+        # Q4 through the engine kernel: case-insensitive regex fullmatch
+        # over the dictionary, then postings
+        return _engine_hits_df(spark, sf_dir, {
+            "search": {"terms": [".*quer.*"], "path": "text",
+                       "is_regex": True},
+        })
+
     def ft_num_hits(spark, sf_dir):
         # exact num_hits on the PLAIN top-k path (search_result.rs:8-26):
         # the segment kernel emits per-segment hit counts alongside its
@@ -791,6 +807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_search_or_ids": ft_search_or_ids,
         "ft_search_and_ids": ft_search_and_ids,
         "ft_search_filtered_ids": ft_search_filtered_ids,
+        "ft_fuzzy_ids": ft_fuzzy_ids,
+        "ft_regex_ids": ft_regex_ids,
         "ft_num_hits": ft_num_hits,
         "ft_phrase_docs": ft_phrase_docs,
         "ft_facet_lang": ft_facet_lang,
@@ -879,6 +897,18 @@ WITH {runs}
 SELECT DISTINCT r.doc_id FROM runs r
 JOIN documents d ON d.doc_id = r.doc_id
 WHERE r.tok = 'spark' AND d.lang = 'en' ORDER BY r.doc_id
+"""
+
+    sql["ft_fuzzy_ids"] = f"""
+WITH {runs}
+SELECT DISTINCT doc_id FROM runs
+WHERE levenshtein(lower(tok), 'spork') <= 1 ORDER BY doc_id
+"""
+
+    sql["ft_regex_ids"] = f"""
+WITH {runs}
+SELECT DISTINCT doc_id FROM runs
+WHERE regexp_full_match(tok, '(?i).*quer.*') ORDER BY doc_id
 """
 
     sql["ft_num_hits"] = f"""
