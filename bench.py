@@ -57,7 +57,12 @@ def make_spark(cpus: int):
     scratch = f"/dev/shm/spark_local_{os.getpid()}"
     os.makedirs(scratch, exist_ok=True)
 
-    driver_mem = os.environ.get("BENCH_DRIVER_MEM", "24g")
+    # default heap sized to the actual working set (the 1M-doc scaling legs
+    # run comfortably in 8g): this sandbox is a microVM whose page faults
+    # stall host-side under pressure — observed 1603 MB/s page-zeroing with
+    # no JVM vs 7.5 MB/s with a 24g-heap JVM resident — so a 3× smaller
+    # guest footprint directly buys back fault latency for every stage
+    driver_mem = os.environ.get("BENCH_DRIVER_MEM", "8g")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.local.dir", scratch)
@@ -157,8 +162,31 @@ def run_queries(spark, index_dir: str) -> dict[str, float]:
     return timings
 
 
+def probe_host_health() -> dict:
+    """~1 s, Spark-free probe of the two host resources whose multi-tenant
+    degradation dominates run-to-run variance (BENCH/BASELINE.md §2/§3):
+    page-zeroing throughput (kernel memory subsystem; measured collapsing
+    6×+ within one day) and single-thread ALU. Recorded in the JSON so each
+    BENCH_r{N} self-documents the host state it saw — cross-round latency
+    deltas can then be attributed to code vs host."""
+    t0 = time.time()
+    _ = bytearray(256 * 1024 * 1024)
+    page_mb_s = 256 / max(time.time() - t0, 1e-9)
+    t0 = time.time()
+    acc = 0
+    for i in range(2_000_000):
+        acc += i * i
+    alu_sec = time.time() - t0
+    return {"host_page_zero_mb_s": round(page_mb_s, 1),
+            "host_alu_loop_sec": round(alu_sec, 4)}
+
+
 def main_bench():
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.0
+    # probe BEFORE the JVM exists: measured 1603 MB/s quiet vs 7.5 MB/s
+    # with a Spark JVM resident on the same host minutes apart — the
+    # at-start number is the comparable cross-round baseline
+    health = probe_host_health()
     base_dir = index_dir = f"/tmp/veloci_bench_idx_{os.getpid()}"
     shutil.rmtree(index_dir, ignore_errors=True)
     spark = make_spark(CPUS)
@@ -195,6 +223,7 @@ def main_bench():
         # ACROSS query shapes of those per-query minima
         "query_stat": "min_of_%d_runs" % N_RUNS,
         "query_p50_sec": round(statistics.median(list(q.values())), 4),
+        **health,
     }
     spark.stop()
     shutil.rmtree(base_dir, ignore_errors=True)
