@@ -233,6 +233,77 @@ class TestIdentityField:
                 == sorted((d["doc_id"] for d in want), reverse=True))
 
 
+class TestIdentityJvmSelection:
+    """VERDICT r4 #1: identity-field SELECTION runs as whole-stage-codegen
+    predicates (exact / prefix / regex / fuzzy), never a per-value Python
+    scan of the doc store; Python only scores the bounded matched set.
+    Parity vs the Python-path oracle (pyref builds url as an ordinary
+    storable-text dictionary, so it IS the identity-semantics oracle)."""
+
+    SHAPES = {
+        "exact": {"terms": ["https://example.org/golden/scores/01"]},
+        "prefix": {"terms": ["https://example.org/golden/"],
+                   "starts_with": True},
+        "regex": {"terms": [".*golden/scores/0[12]"], "is_regex": True},
+        "fuzzy": {"terms": ["https://example.org/golden/scores/0X"],
+                  "levenshtein_distance": 1},
+    }
+
+    @pytest.mark.parametrize("shape", sorted(SHAPES))
+    def test_search_parity_vs_python_path(self, spark_index, ref_index, shape):
+        from veloci_spark.search import search
+
+        req = {"search": {**self.SHAPES[shape], "path": "url"}, "top": 50}
+        got = search(spark_index, req)
+        want = pyref.search_request(ref_index, req)
+        assert [d["doc_id"] for d in got["data"]] == [d for d, _ in want]
+        assert ([np.float32(d["score"]) for d in got["data"]]
+                == [np.float32(s) for _, s in want])
+        assert got["data"], f"shape {shape} matched nothing — test is vacuous"
+
+    @pytest.mark.parametrize("shape", sorted(SHAPES))
+    def test_match_terms_parity(self, spark_index, ref_index, shape):
+        from veloci_spark.search import match_terms
+
+        opts = self.SHAPES[shape]
+        got = match_terms(spark_index, "url", opts["terms"][0],
+                          levenshtein=opts.get("levenshtein_distance", 0),
+                          starts_with=opts.get("starts_with", False),
+                          is_regex=opts.get("is_regex", False))
+        want = ref_index.match_terms("url", opts["terms"][0],
+                                     levenshtein=opts.get("levenshtein_distance", 0),
+                                     starts_with=opts.get("starts_with", False),
+                                     is_regex=opts.get("is_regex", False))
+        assert sorted(got["term"]) == sorted(t for t, _i, _s in want)
+        assert not got.empty
+
+    @pytest.mark.parametrize("shape", sorted(SHAPES))
+    def test_selection_plan_has_no_python_udf(self, spark_index, shape, capsys):
+        """The kernel-input plan for an identity leaf: the ONLY Python stage
+        is the f32 scoring UDF over already-selected rows; selection itself
+        is a codegen'd Filter (levenshtein / RLIKE / StartsWith / equality)
+        that sits below the Python eval (runs first)."""
+        from veloci_spark.search import _Leaf, _identity_leaf_rows
+
+        opts = self.SHAPES[shape]
+        leaf = _Leaf(0, "url", opts["terms"][0],
+                     {"levenshtein": opts.get("levenshtein_distance", 0),
+                      "starts_with": opts.get("starts_with", False),
+                      "is_regex": opts.get("is_regex", False)}, None)
+        df = _identity_leaf_rows(spark_index, leaf)
+        df.explain()  # simple mode: each physical node printed exactly once
+        plan = capsys.readouterr().out
+        assert plan.count("ArrowEvalPython") == 1  # the scoring UDF only
+        marker = {"exact": "= https://example.org/golden/scores/01",
+                  "prefix": "StartsWith",
+                  "regex": "RLIKE",
+                  "fuzzy": "levenshtein"}[shape]
+        sel_line = next(l for l in plan.splitlines() if marker in l)
+        assert "pythonUDF" not in sel_line
+        # the selection filter must run BEFORE (print below) the Python eval
+        assert plan.index(marker) > plan.index("ArrowEvalPython")
+
+
 # ---------------------------------------------------------------------------
 # golden ranking assertions (independent of both implementations)
 
