@@ -304,6 +304,52 @@ class TestIdentityJvmSelection:
         assert plan.index(marker) > plan.index("ArrowEvalPython")
 
 
+class TestPartitionPreMerge:
+    """VERDICT r4 #2: the plain top-k driver merge collects partitions ×
+    (k+1) rows, not segments × (k+1) — a partition-level pre-merge chained
+    onto the kernel stage sums the per-segment exact counts and keeps each
+    partition's k best rows."""
+
+    def test_bounded_rows_and_exact_merge(self, spark):
+        import pandas as pd
+        from veloci_spark.search import _partition_topk_factory
+
+        # 40 "segments" of kernel output (3 hits + exact count each) spread
+        # over 4 partitions — far more segments than partitions
+        recs = []
+        for seg in range(40):
+            for j in range(3):
+                recs.append((seg * 100 + j, float(seg + j * 0.25),
+                             17 if j == 0 else 0))
+        pdf = pd.DataFrame(recs, columns=["doc_id", "score", "seg_hits"])
+        hits = spark.createDataFrame(pdf).repartition(4)
+        k = 10
+        rows = (hits.mapInPandas(_partition_topk_factory(k, count_col="seg_hits"),
+                                 schema="doc_id long, score float, cnt long")
+                .collect())
+        assert len(rows) <= 4 * (k + 1)          # bounded by partitions, not segments
+        assert sum(r["cnt"] for r in rows) == 40 * 17  # counts survive the merge
+        import numpy as np
+        got = sorted(((r["score"], r["doc_id"]) for r in rows), reverse=True)[:k]
+        want = sorted(((s, d) for d, s, _c in recs), reverse=True)[:k]
+        assert [(np.float32(s), d) for s, d in got] \
+            == [(np.float32(s), d) for s, d in want]
+
+    def test_search_plain_path_unchanged(self, spark_index, ref_index):
+        # end-to-end: plain top-k result + exact count identical through the
+        # pre-merge (multi-segment index, broad one-letter prefix query)
+        from veloci_spark.search import search
+
+        req = {"search": {"terms": ["s"], "path": "text",
+                          "starts_with": True}, "top": 7}
+        got = search(spark_index, req)
+        want = pyref.search_request(ref_index, req)
+        assert [d["doc_id"] for d in got["data"]] == [d for d, _ in want][:7]
+        full = search(spark_index, {**req, "exact_count": True})
+        assert got["num_hits"] == full["num_hits"]
+        assert got["num_hits_exact"] is True
+
+
 # ---------------------------------------------------------------------------
 # golden ranking assertions (independent of both implementations)
 
