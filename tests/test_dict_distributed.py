@@ -67,6 +67,10 @@ class TestDistributedDict:
             ("urg", "urg", 1, False, False),           # fuzzy
             (".*urge.*", ".*urge.*", 0, False, True),  # regex
             ("majes", "majes", 0, True, False),        # plain prefix
+            # prefix-fuzzy: since r5 the .starts_with() automaton runs as
+            # an OR of 2d+1 bounded levenshteins over prefix lengths — the
+            # LAST interpreted per-key dictionary predicate is gone
+            ("majee", "majee", 1, True, False),
         ]
         for term, lower, d_auto, sw, rx in hot:
             cand = _dict_candidates(d, term, lower, max(len(lower), 1),
@@ -74,6 +78,29 @@ class TestDistributedDict:
             plan = cand._jdf.queryExecution().executedPlan().toString()
             assert "EvalPython" not in plan and "pythonUDF" not in plan, \
                 (term, plan)
+
+    def test_prefix_fuzzy_predicate_matches_automaton(self, spark):
+        """Property check: the OR-of-bounded-levenshteins prefix predicate
+        (r5, closes the last interpreted dictionary shape) is EXACTLY
+        pyref._prefix_lev — min over key prefixes of lev(prefix, query) —
+        on random strings, including keys shorter than the query."""
+        import random
+
+        from veloci_spark import pyref
+        from veloci_spark.search import _jvm_match_pred
+
+        rng = random.Random(7)
+        vals = ["".join(rng.choice("abcx") for _ in range(rng.randint(0, 8)))
+                for _ in range(400)]
+        df = spark.createDataFrame([(v,) for v in vals], "term string")
+        for q in ["abca", "xab", "abcabc"]:
+            for d in (1, 2):
+                pred = _jvm_match_pred(F.col("term"), q, q, len(q), d,
+                                       True, False)
+                got = sorted(r["term"] for r in df.where(pred).collect())
+                want = sorted(v for v in vals
+                              if pyref._prefix_lev(v.lower(), q) <= d)
+                assert got == want, (q, d)
 
     def test_fuzzy_search_end_to_end_distributed(self, spark_index, dist_index):
         # same query through both paths hits the same docs with equal scores

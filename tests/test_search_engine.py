@@ -247,6 +247,10 @@ class TestIdentityJvmSelection:
         "regex": {"terms": [".*golden/scores/0[12]"], "is_regex": True},
         "fuzzy": {"terms": ["https://example.org/golden/scores/0X"],
                   "levenshtein_distance": 1},
+        # r5: the .starts_with() automaton as an OR of bounded levenshteins
+        # over prefix lengths — JVM-side like every other shape
+        "prefix_fuzzy": {"terms": ["https://example.org/gXlden/"],
+                         "starts_with": True, "levenshtein_distance": 1},
     }
 
     @pytest.mark.parametrize("shape", sorted(SHAPES))
@@ -297,7 +301,8 @@ class TestIdentityJvmSelection:
         marker = {"exact": "= https://example.org/golden/scores/01",
                   "prefix": "StartsWith",
                   "regex": "RLIKE",
-                  "fuzzy": "levenshtein"}[shape]
+                  "fuzzy": "levenshtein",
+                  "prefix_fuzzy": "levenshtein"}[shape]
         sel_line = next(l for l in plan.splitlines() if marker in l)
         assert "pythonUDF" not in sel_line
         # the selection filter must run BEFORE (print below) the Python eval
@@ -730,13 +735,62 @@ class TestWandOr:
         want = self._brute_topk(g, {0: "a"}, 3)
         assert list(zip(gi.tolist(), gs.tolist())) == want
 
-    def test_dense_or_not_slower_than_plain(self):
-        """VERDICT r3 #1: a dense multi-leg OR must not pay per-row rescans -
-        the density bailout keeps the WAND kernel within a small factor of
-        the plain (decode-everything) evaluation on segments where pruning
-        cannot win. Pre-r4 this shape was O(rows x legs x segment_docs)."""
-        import time
+    def test_many_leg_randomized_equality(self):
+        """VERDICT r4 #4 companion: the kernel stays exact at a wide leg
+        count (64 legs; the 256-doc segment keeps its dense state tiny)."""
+        import pandas as pd
 
+        from veloci_spark import search as S
+
+        rng = np.random.RandomState(4242)
+        n_leaves = 64
+        rows = []
+        for leaf in range(n_leaves):
+            for _ in range(int(rng.randint(1, 3))):
+                n = int(rng.randint(3, 40))
+                ids = np.sort(rng.choice(256, size=n, replace=False))
+                stored = rng.randint(1, 5000, size=n)
+                rows.append(self._row(leaf, rng.uniform(0.1, 1.0), ids, stored))
+        g = pd.DataFrame(rows)
+        tag_of_leaf = {l: f"{l:03d}" for l in range(n_leaves)}
+        want = self._brute_topk(g, tag_of_leaf, 10)
+        gi, gs, n = S._wand_tree_segment(g, {l: l for l in range(n_leaves)},
+                                         n_leaves, "or", 10, 0, 256,
+                                         count_hits=True)
+        assert list(zip(gi.tolist(), gs.tolist())) == want
+        assert n == 256  # 64 legs x up to 40 ids saturate the tiny segment
+
+    def test_wide_or_dense_budget_falls_back_to_plain(self, spark_index,
+                                                      monkeypatch):
+        """VERDICT r4 #4: past the dense-state budget the planner drops the
+        multi-leaf WAND (scatter state is n_legs x segment_docs cells) and
+        the plain kernel — whose state is hit-proportional — answers
+        identically, exact count included."""
+        from veloci_spark import search as S
+
+        req = {"or": [{"search": {"terms": ["die"], "path": "text"}},
+                      {"search": {"terms": ["der"], "path": "text"}}],
+               "top": 5}
+        _f, plan, _ = S._search_hits(spark_index, req, need_all=False)
+        assert plan.get("wand_tree") is not None
+        want = S.search(spark_index, req)
+        monkeypatch.setattr(S, "_WAND_DENSE_BUDGET_BYTES", 0)
+        _f, plan, _ = S._search_hits(spark_index, req, need_all=False)
+        assert plan.get("wand_tree") is None
+        assert S.search(spark_index, req) == want
+
+    def test_dense_or_not_slower_than_plain(self, monkeypatch):
+        """VERDICT r3 #1: a dense multi-leg OR must not pay per-row rescans -
+        the amortized lazy refresh keeps the WAND kernel within a small
+        factor of the plain (decode-everything) evaluation on segments where
+        pruning cannot win. Pre-r4 this shape was O(rows x legs x
+        segment_docs). Asserted on a WORK COUNTER, not wall time (ADVICE r4:
+        a timing ratio flakes under this host's documented multi-tenant
+        stalls): every θ refresh is the kernel's one np.partition call and
+        costs O(candidates), and the amortization contract (refresh only
+        after decoding >= candidates/2 posting entries) bounds refreshes by
+        total_entries / (candidates/2) — single digits here, vs one dense
+        rescan per surviving row (~180) pre-fix."""
         import pandas as pd
 
         from veloci_spark import search as S
@@ -771,12 +825,19 @@ class TestWandOr:
             order = np.lexsort((-ids, -sc.astype(np.float64)))[:10]
             return list(zip(ids[order].tolist(), sc[order].tolist()))
 
-        t0 = time.perf_counter()
         want = plain()
-        t_plain = time.perf_counter() - t0
-        t0 = time.perf_counter()
+        calls = {"refresh": 0}
+        real_part = np.partition
+
+        def counting_partition(a, kth, *args, **kw):
+            calls["refresh"] += 1
+            return real_part(a, kth, *args, **kw)
+
+        monkeypatch.setattr(S.np, "partition", counting_partition)
         gi, gs, _n = S._wand_tree_segment(g, leg_map, 3, "or", 10, 0, seg_docs)
-        t_wand = time.perf_counter() - t0
+        monkeypatch.undo()
         assert list(zip(gi.tolist(), gs.tolist())) == want
-        # generous noise margin: pre-fix this was >10x slower than plain
-        assert t_wand < t_plain * 3 + 0.25, (t_wand, t_plain)
+        # 180 rows x 5000 entries = 900k decoded entries over ~195k
+        # candidates -> the amortization admits <= ~10 refreshes; pre-fix
+        # dense bookkeeping did the equivalent work once per surviving row
+        assert calls["refresh"] <= 24, calls["refresh"]

@@ -295,18 +295,47 @@ class TestMultiIndexResultShape:
         delete_docs(spark, root, [0, 1])
         mi = MultiIndex(spark, root)
         fast = mi.search(req)
-        # truncated path with tombstones: count is an upper-bound estimate
-        assert not fast["num_hits_exact"]
-        assert fast["num_hits"] >= 18
+        # truncated path with tombstones: the kernel subtracts each
+        # segment's tombstoned hits (_seg_deleted), so the cheap path is
+        # already exact — no extra job, no estimate (VERDICT r4 #3)
+        assert fast["num_hits_exact"]
+        assert fast["num_hits"] == 18
         exact = mi.search({**req, "exact_count": True})
         assert exact["num_hits_exact"] and exact["num_hits"] == 18
         # per-SEGMENT tombstone accounting (ADVICE r3): only the victims'
         # segment is inflated (segment_docs=16 -> ids 0,1 live in segment 0)
         assert mi._seg_extra == {0: {0: 2}}
+        assert {g: {s: list(v) for s, v in per.items()}
+                for g, per in mi._seg_deleted.items()} == {0: {0: [0, 1]}}
         # driver-side tombstone set routes get_doc without a Spark job
         assert mi._del_set == frozenset({0, 1})
         assert mi.get_doc(0) is None and mi.get_doc(2) is not None
         mi.close()
+        # the exact count equals the compacted (tombstone-free) index's
+        from veloci_spark.streaming import compact
+        compact(spark, root, stream_cfg)
+        assert MultiIndex(spark, root).search(req)["num_hits"] == 18
+
+    def test_num_hits_exact_distributed_tombstones(self, spark, stream_cfg,
+                                                    tmp_path, monkeypatch):
+        """VERDICT r4 #3 fallback: when the tombstone set exceeds
+        LOCAL_DELETES_MAX (forced to 0 here) the kernel never sees it, and
+        exactness is bought with one untruncated count-only pass — the
+        result must still be live-exact with num_hits_exact True."""
+        from veloci_spark.streaming import MultiIndex, delete_docs, ingest_batch
+
+        root = str(tmp_path / "root")
+        ingest_batch(spark, spark.createDataFrame(_batch_rows(0, 20, "a")),
+                     stream_cfg, root)
+        delete_docs(spark, root, [0, 1, 2])
+        monkeypatch.setattr(MultiIndex, "LOCAL_DELETES_MAX", -1)
+        mi = MultiIndex(spark, root)
+        assert mi._del_set is None and not mi._seg_deleted
+        res = mi.search({"search": {"terms": ["spark"], "path": "text"},
+                         "top": 3})
+        assert res["num_hits_exact"] and res["num_hits"] == 17
+        assert len(res["data"]) == 3
+        assert not {d["doc_id"] for d in res["data"]} & {0, 1, 2}
 
     def test_should_compact_advisory(self, spark, stream_cfg, tmp_path):
         from veloci_spark.streaming import MultiIndex, delete_docs, ingest_batch

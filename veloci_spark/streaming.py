@@ -189,11 +189,17 @@ class MultiIndex:
         # (ADVICE r3: generation-wide inflation effectively disabled WAND
         # past a few thousand deletes)
         self._seg_extra: dict[int, dict[int, int]] = {}
+        self._seg_deleted: dict[int, dict[int, "np.ndarray"]] = {}
         self._del_counts: dict[int, int] = {}
         self._del_set: frozenset | None = frozenset()
         self.n_deletes = 0
         if self.deletes is not None and self.gens:
-            self.deletes = self.deletes.cache()
+            # one-shot cache: it serves exactly the two __init__ jobs below
+            # and is released before __init__ returns, so throwaway handles
+            # (should_compact probes) can't accumulate cached tombstone
+            # DataFrames (ADVICE r4). Search-time anti-joins re-read the
+            # small deletes parquet instead.
+            self.deletes.cache()
             ranges = spark.createDataFrame(
                 [(g["gen"], g["base"], _gen_hi(g),
                   int(idx.manifest["segment_docs"]))
@@ -215,14 +221,36 @@ class MultiIndex:
             if self.n_deletes <= self.LOCAL_DELETES_MAX:
                 self._del_set = frozenset(
                     r["doc_id"] for r in self.deletes.collect())
+                self._build_seg_deleted()
             else:
                 self._del_set = None  # too large: stay distributed
+            self.deletes.unpersist()
+
+    def _build_seg_deleted(self):
+        """Per-(generation, segment) SEGMENT-RELATIVE tombstone ids, the
+        kernel-side form of ``_seg_extra``: shipped to the segment kernel so
+        its per-segment hit counts are live-exact under top-k truncation
+        (VERDICT r4 #3). Sorted-array range slicing, not a per-id Python
+        loop — O(n log n) once on the driver at ≤ LOCAL_DELETES_MAX ids."""
+        import numpy as np
+
+        dels = np.fromiter(self._del_set, np.int64, len(self._del_set))
+        dels.sort()
+        for g, idx in self.indexes:
+            lo, hi = np.searchsorted(dels, [g["base"], _gen_hi(g)])
+            sub = dels[lo:hi]
+            if not len(sub):
+                continue
+            segd = int(idx.manifest["segment_docs"])
+            segs = sub // segd
+            per = {}
+            for s in np.unique(segs):
+                per[int(s)] = (sub[segs == s] % segd)
+            self._seg_deleted[g["gen"]] = per
 
     def close(self):
-        """Release the cached tombstone DataFrame (the MultiIndex handle is
-        cheap to rebuild; the cache is not tied to its lifetime otherwise)."""
-        if self.deletes is not None:
-            self.deletes.unpersist()
+        """Kept for API compatibility: since the tombstone cache became
+        one-shot (released inside __init__), there is nothing to free."""
 
     @property
     def n_docs(self) -> int:
@@ -251,18 +279,18 @@ class MultiIndex:
         requested) facets / select / why_found, all merged across
         generations.
 
-        num_hits is exact when there are no tombstones (sum of the
-        generations' exact per-segment counts) or when the request forces a
-        full evaluation (facets / why_found / exact_count / boost — the
-        live hit set is then materialized and counted); otherwise the
-        per-segment counts still include tombstoned docs and the reported
-        count is an upper-bound estimate with ``num_hits_exact: False``.
+        num_hits is exact on EVERY path (VERDICT r4 #3): with no tombstones
+        it is the sum of the generations' exact per-segment counts; a full
+        evaluation (facets / why_found / exact_count / boost) counts the
+        materialized live hit set; truncated top-k under tombstones passes
+        each segment its own tombstone set (``_seg_deleted``) so the kernel
+        reports LIVE per-segment counts. Only when the tombstone set is too
+        large to hold on the driver (> LOCAL_DELETES_MAX) does exactness
+        cost an extra job — one untruncated count-only pass with a
+        distributed anti-join.
         """
-        import numpy as np
-
         from veloci_spark.search import (_apply_anchor_boosts,
-                                         _apply_post_locality, _search_hits,
-                                         select_docs)
+                                         _apply_post_locality, _search_hits)
 
         top = request.get("top", 10)
         skip = request.get("skip", 0)
@@ -276,12 +304,19 @@ class MultiIndex:
         for _g, idx in self.indexes:
             gen_req = request
             extra = self._seg_extra.get(_g["gen"])
-            if extra:
+            sdel = self._seg_deleted.get(_g["gen"])
+            if extra or sdel:
                 # widen each segment's candidate set by ITS tombstone
                 # count: at most that many of the segment's top-k slots can
                 # be occupied by deleted docs, so k live candidates always
-                # survive the kernel truncation
-                gen_req = {**request, "_seg_top_extra": extra}
+                # survive the kernel truncation. The tombstone ids
+                # themselves ride along so the kernel's per-segment counts
+                # are live-exact even when it truncates (VERDICT r4 #3).
+                gen_req = {**request}
+                if extra:
+                    gen_req["_seg_top_extra"] = extra
+                if sdel:
+                    gen_req["_seg_deleted"] = sdel
             hits, plan, leaves = _search_hits(idx, gen_req,
                                               need_all=need_all,
                                               count_hits=True)
@@ -300,24 +335,54 @@ class MultiIndex:
 
         has_deletes = self.deletes is not None and self.n_deletes > 0
         # cache the PARENT of both views: every job below (counts, ranking,
-        # facets) recomputes at most the cheap anti-join on top of it
+        # facets) recomputes at most the cheap tombstone filter on top of
+        # it. try/finally so a failing job can't leak the cache (ADVICE r4).
         merged = merged.cache()
+        try:
+            return self._finish_search(request, merged, gen_ctx, top, skip,
+                                       emitted_all, has_deletes)
+        finally:
+            merged.unpersist()
+
+    def _finish_search(self, request, merged, gen_ctx, top, skip,
+                       emitted_all, has_deletes):
+        import numpy as np
+
+        from veloci_spark.search import _search_hits, select_docs
+
         if has_deletes:
-            # seg_hits counts were taken BEFORE tombstone filtering
-            live = merged.join(self.deletes, on="doc_id", how="left_anti")
+            # candidate rows were emitted BEFORE tombstone filtering; tiny
+            # tombstone sets stay a codegen'd NOT-IN (no second scan), the
+            # rest a left-anti join against the deletes parquet
+            if self._del_set is not None and len(self._del_set) <= 1_000:
+                live = merged.where(
+                    ~F.col("doc_id").isin([int(i) for i in self._del_set]))
+            else:
+                live = merged.join(self.deletes, on="doc_id", how="left_anti")
         else:
             live = merged
         if emitted_all:
             num_hits = live.count()  # full live hit set: exact
             exact = True
-        elif not has_deletes:
+        elif not has_deletes or self._del_set is not None:
+            # per-segment counts from the kernel — live-exact: either no
+            # tombstones at all, or the kernel subtracted each segment's
+            # tombstoned hits via _seg_deleted (VERDICT r4 #3)
             num_hits = int(merged.agg(F.sum("seg_hits")).first()[0] or 0)
             exact = True
         else:
-            # truncated candidates + tombstones: per-segment counts still
-            # include deleted docs — upper bound, flagged inexact
-            num_hits = int(merged.agg(F.sum("seg_hits")).first()[0] or 0)
-            exact = False
+            # > LOCAL_DELETES_MAX tombstones: the kernel never saw the set,
+            # so buy exactness with one untruncated count-only pass (doc
+            # ranges are disjoint across segments and generations — rows
+            # are distinct docs, a bare count suffices). An index this
+            # tombstone-heavy is already past should_compact().
+            full = None
+            for _g, idx, _l in gen_ctx:
+                h, _p, _ = _search_hits(idx, request, need_all=True)
+                full = h if full is None else full.unionByName(h)
+            num_hits = (full.join(self.deletes, on="doc_id", how="left_anti")
+                        .count())
+            exact = True
         ranked = live.orderBy(F.desc("score"), F.desc("doc_id")) \
             .limit(top + skip).collect()[skip:]
         out = {
@@ -373,7 +438,6 @@ class MultiIndex:
                     wf.update(_why(idx, ids_g, leaves))
             for d in out["data"]:
                 d["why_found"] = wf.get(d["doc_id"], {})
-        merged.unpersist()
         return out
 
     def suggest(self, field: str, prefix: str, *, top: int = 10,
@@ -382,7 +446,12 @@ class MultiIndex:
         matches, same lowercased text deduped keep-max, global score order
         (term scores depend only on the query-term match, so the merge is
         exact). Terms of tombstoned docs remain visible until compaction —
-        the Lucene-segment behavior."""
+        the Lucene-segment behavior.
+
+        Equal-score ties break on the suggestion TEXT ascending, not on
+        term_id: term_ids are per-generation dictionary ranks and not
+        comparable across generations, so a term_id tie-break would make
+        the order depend on generation layout (ADVICE r4)."""
         import numpy as np
         import pandas as pd
 
@@ -396,10 +465,10 @@ class MultiIndex:
             return []
         m = pd.concat(frames, ignore_index=True)
         m = m.assign(lower=m["term"].str.lower())
-        best = m.sort_values(["score", "term_id"], ascending=[False, False],
+        best = m.sort_values(["score", "lower"], ascending=[False, True],
                              kind="mergesort").drop_duplicates("lower")
-        best = best.sort_values(["score", "term_id"],
-                                ascending=[False, False], kind="mergesort")
+        best = best.sort_values(["score", "lower"],
+                                ascending=[False, True], kind="mergesort")
         return [(r["lower"], float(np.float32(r["score"])))
                 for _, r in best.head(top).iterrows()]
 
