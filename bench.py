@@ -178,7 +178,11 @@ def probe_host_health() -> dict:
         acc += i * i
     alu_sec = time.time() - t0
     return {"host_page_zero_mb_s": round(page_mb_s, 1),
-            "host_alu_loop_sec": round(alu_sec, 4)}
+            "host_alu_loop_sec": round(alu_sec, 4),
+            # mechanical filter for cross-round tables (VERDICT r4 #5):
+            # quiet host measures ~1600 MB/s; runs probing below the
+            # documented 800 MB/s gate (BENCH/BASELINE.md §3) are flagged
+            "host_degraded": page_mb_s < 800.0}
 
 
 def main_bench():
@@ -278,6 +282,11 @@ def main_scaling():
     n_docs = int(os.environ.get("SCALE_DOCS", "100000"))
     base_n = int(os.environ.get("SCALE_N", "8"))
     pin = os.environ.get("SCALE_TASKSET", "1") == "1"
+    # probe before any JVM exists (same placement as main_bench) so the
+    # scaling JSON self-documents host state too (VERDICT r4 #5). Both legs
+    # pay the same per-page cost, so the RATIO stays clean even degraded —
+    # the flag contextualizes the absolute docs_per_sec numbers.
+    health = probe_host_health()
     corpus = materialize_synth_corpus(n_docs)
     results = {}
     trials = int(os.environ.get("SCALE_TRIALS", "2"))
@@ -333,6 +342,7 @@ def main_scaling():
                                "docs_per_sec": round(t_4n, 1),
                                "stages": results[base_n * 4].get("stages")},
         "scaling_efficiency": round(eff, 3),
+        **health,
     }))
 
 
