@@ -456,6 +456,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        "is_regex": True},
         })
 
+    def ft_prefix_fuzzy_ids(spark, sf_dir):
+        # Q2+Q3 combined: prefix-Levenshtein-automaton matching (a dict
+        # term matches when SOME prefix is within d of the query) — runs
+        # as an OR of bounded JVM levenshteins over prefix lengths (r5);
+        # the oracle states the same reduction in SQL
+        return _engine_hits_df(spark, sf_dir, {
+            "search": {"terms": ["spbrk"], "path": "text",
+                       "starts_with": True, "levenshtein_distance": 1},
+        })
+
     def ft_num_hits(spark, sf_dir):
         # exact num_hits on the PLAIN top-k path (search_result.rs:8-26):
         # the segment kernel emits per-segment hit counts alongside its
@@ -809,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_search_filtered_ids": ft_search_filtered_ids,
         "ft_fuzzy_ids": ft_fuzzy_ids,
         "ft_regex_ids": ft_regex_ids,
+        "ft_prefix_fuzzy_ids": ft_prefix_fuzzy_ids,
         "ft_num_hits": ft_num_hits,
         "ft_phrase_docs": ft_phrase_docs,
         "ft_facet_lang": ft_facet_lang,
@@ -909,6 +920,25 @@ WHERE levenshtein(lower(tok), 'spork') <= 1 ORDER BY doc_id
 WITH {runs}
 SELECT DISTINCT doc_id FROM runs
 WHERE regexp_full_match(tok, '(?i).*quer.*') ORDER BY doc_id
+"""
+
+    # prefix-Levenshtein automaton: term matches when some PREFIX is within
+    # d of the query; an accepting prefix has length within d of |q|, so
+    # the predicate is an OR over prefix lengths 4..6 for |q|=5, d=1 — the
+    # same reduction the engine runs as JVM levenshteins. The dictionary is
+    # token runs ∪ storable (≤64 B) full texts, exactly like the engine's.
+    sql["ft_prefix_fuzzy_ids"] = f"""
+WITH {runs}
+SELECT DISTINCT doc_id FROM (
+  SELECT doc_id, tok AS term FROM runs
+  UNION ALL
+  SELECT doc_id, text AS term FROM documents
+  WHERE octet_length(encode(text)) <= 64
+)
+WHERE levenshtein(substr(lower(term), 1, 4), 'spbrk') <= 1
+   OR levenshtein(substr(lower(term), 1, 5), 'spbrk') <= 1
+   OR levenshtein(substr(lower(term), 1, 6), 'spbrk') <= 1
+ORDER BY doc_id
 """
 
     sql["ft_num_hits"] = f"""

@@ -1631,11 +1631,24 @@ def search(index: FulltextIndex, request: dict) -> dict:
     hits = _apply_anchor_boosts(index, hits, request, leaves)
     top = request.get("top", 10)
     skip = request.get("skip", 0)
-    if need_all:
+    facet_specs = request.get("facets") or []
+    # cache the hit set ONLY when several facet jobs will re-read it.
+    # With 0-1 re-readers, recomputing is measurably cheaper than an
+    # InMemoryRelation between two Python stages (profiled r5 at sf0.1:
+    # cache+topk+facet 1.85 s vs uncached 1.20 s — the columnar cache
+    # write/read between Arrow stages added ~0.9 s). Scale note: the
+    # repartition("segment") SHUFFLE output is reused across the topk and
+    # facet jobs either way (same RDD lineage), so an uncached re-run only
+    # re-pays the post-shuffle segment-kernel decode — and skipping the
+    # cache also removes the unbounded memory of materializing a
+    # match-everything hit set.
+    cache_hits = need_all and len(facet_specs) >= 2
+    if cache_hits:
         hits = hits.cache()
-        # ONE job materializes the cache AND returns each partition's exact
-        # row count + its (top+skip) best rows — the separate count() pass
-        # and the TakeOrdered ranking pass collapse into it (r4)
+    if need_all:
+        # ONE job returns each partition's exact row count + its (top+skip)
+        # best rows — the separate count() pass and the TakeOrdered ranking
+        # pass collapse into it (r4)
         rows = (hits.select("doc_id", "score")
                 .mapInPandas(_partition_topk_factory(top + skip),
                              schema="doc_id long, score float, cnt long")
@@ -1664,7 +1677,6 @@ def search(index: FulltextIndex, request: dict) -> dict:
         order = np.lexsort((-ids, -sc.astype(np.float64)))[:top + skip]
         return [rows[j] for j in order]
 
-    facet_specs = request.get("facets") or []
     facets: dict = {}
     if facet_specs:
         # for a selective query the hit set is the SMALL side of the
@@ -1695,9 +1707,10 @@ def search(index: FulltextIndex, request: dict) -> dict:
             )
             return fld, [(r["_fv"], r["count"]) for r in fc]
 
-        # the cache is materialized (the count+top-k pass above) and ranking
-        # is a driver-side merge — only the facet jobs touch Spark; run them
-        # CONCURRENTLY (wall time = the slowest one, not the sum)
+        # the count+top-k pass already ran and ranking is a driver-side
+        # merge — only the facet jobs touch Spark; run them CONCURRENTLY
+        # (wall time = the slowest one, not the sum), sharing the cached
+        # hit set when there are several
         from concurrent.futures import ThreadPoolExecutor
 
         ranked = _ranked()
@@ -1719,7 +1732,7 @@ def search(index: FulltextIndex, request: dict) -> dict:
     }
     if facet_specs:
         out["facets"] = facets
-    if need_all:
+    if cache_hits:
         hits.unpersist()
     if request.get("select"):
         by_id = select_docs(index, [d["doc_id"] for d in out["data"]],
