@@ -307,6 +307,17 @@ class TestMultiIndexResultShape:
         assert mi._seg_extra == {0: {0: 2}}
         assert {g: {s: list(v) for s, v in per.items()}
                 for g, per in mi._seg_deleted.items()} == {0: {0: [0, 1]}}
+        # all three kernel paths subtract tombstoned hits from their counts:
+        # single-leaf WAND (above), multi-leaf WAND (unboosted OR), and the
+        # plain kernel (filter disables WAND) — every doc has both terms
+        ror = mi.search({"or": [
+            {"search": {"terms": ["spark"], "path": "text"}},
+            {"search": {"terms": ["batch"], "path": "text"}}], "top": 3})
+        assert ror["num_hits_exact"] and ror["num_hits"] == 18
+        rf = mi.search({"search": {"terms": ["spark"], "path": "text"},
+                        "filter": {"search": {"terms": ["batch"],
+                                              "path": "text"}}, "top": 3})
+        assert rf["num_hits_exact"] and rf["num_hits"] == 18
         # driver-side tombstone set routes get_doc without a Spark job
         assert mi._del_set == frozenset({0, 1})
         assert mi.get_doc(0) is None and mi.get_doc(2) is not None
