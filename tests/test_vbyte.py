@@ -48,3 +48,36 @@ def test_delta():
     d = delta_encode(ids)
     assert list(d) == [5, 1, 94, 900]
     assert (delta_decode(d) == ids).all()
+
+
+@given(st.lists(st.lists(st.integers(0, 2**20 - 1), min_size=0, max_size=40),
+                min_size=1, max_size=30))
+@settings(max_examples=150)
+def test_pack_ids_grouped_byte_identical(groups):
+    """The batched encoder (r5: one vectorized pass + per-group byte
+    slicing) is byte-identical to calling pack_ids per group — groups are
+    independent delta streams, so cross-group boundaries must not leak."""
+    from veloci_spark.vbyte import pack_ids, pack_ids_grouped, unpack_ids
+
+    groups = [np.array(sorted(set(g)), dtype=np.int64) for g in groups]
+    flat = (np.concatenate(groups) if any(len(g) for g in groups)
+            else np.empty(0, dtype=np.int64))
+    lens = np.array([len(g) for g in groups], dtype=np.int64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    got = pack_ids_grouped(flat, starts, ends)
+    want = [pack_ids(g) for g in groups]
+    assert got == want
+    for blob, g in zip(got, groups):
+        assert (unpack_ids(blob) == g).all()
+
+
+def test_vbyte_encode_grouped_matches_per_group():
+    from veloci_spark.vbyte import vbyte_encode_grouped
+
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 2**34, size=500).astype(np.uint64)
+    starts = np.array([0, 100, 101, 400], dtype=np.int64)
+    ends = np.array([100, 101, 400, 500], dtype=np.int64)
+    got = vbyte_encode_grouped(vals, starts, ends)
+    assert got == [vbyte_encode(vals[s:e]) for s, e in zip(starts, ends)]

@@ -1096,11 +1096,19 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
             # longs. A (pair, segment) group split across Arrow batches
             # yields two rows; every reader treats the id lists as sets, so
             # splits are benign.
-            from veloci_spark.vbyte import pack_ids as _pack_ids
+            from veloci_spark.vbyte import pack_ids_grouped as _pack_grouped
 
             _seg_docs = segment_docs
 
             def pack_pairs(iterator):
+                # fully vectorized over the Arrow batch: adjacent-dup drop
+                # (rows arrive sorted by (field, pair, segment, doc_id), so
+                # a group's duplicates are adjacent — equivalent to the
+                # per-group np.unique) + ONE batched delta+VByte encode
+                # sliced per group. A per-group pack_ids loop here paid one
+                # Python call per (pair, segment) group — tens of millions
+                # per 1M-doc build — and dominated the whole build (r5
+                # measurement: phrase 1097 s of 1408 s at 2 cores).
                 for pdf in iterator:
                     if pdf.empty:
                         continue
@@ -1112,16 +1120,18 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
                     change[0] = True
                     for k in keys:
                         change[1:] |= k[1:] != k[:-1]
-                    starts = np.flatnonzero(change)
-                    ends = np.append(starts[1:], len(ids))
+                    keep = change.copy()
+                    keep[1:] |= ids[1:] != ids[:-1]
+                    ids_u, seg_u, change_u = ids[keep], seg[keep], change[keep]
+                    starts = np.flatnonzero(change_u)
+                    ends = np.append(starts[1:], len(ids_u))
                     yield pd.DataFrame({
-                        "field": pdf["field"].values[starts],
-                        "tok_a": pdf["tok_a"].values[starts],
-                        "tok_b": pdf["tok_b"].values[starts],
-                        "segment": seg[starts].astype(np.int32),
-                        "docs_bin": [
-                            _pack_ids(np.unique(ids[s:e]) - seg[s] * _seg_docs)
-                            for s, e in zip(starts, ends)],
+                        "field": pdf["field"].values[keep][starts],
+                        "tok_a": pdf["tok_a"].values[keep][starts],
+                        "tok_b": pdf["tok_b"].values[keep][starts],
+                        "segment": seg_u[starts].astype(np.int32),
+                        "docs_bin": _pack_grouped(
+                            ids_u - seg_u * _seg_docs, starts, ends),
                     })
 
             pairs = (

@@ -94,5 +94,60 @@ def pack_ids(sorted_ids: np.ndarray) -> bytes:
     return vbyte_encode(delta_encode(sorted_ids))
 
 
+def vbyte_encode_grouped(values: np.ndarray, starts: np.ndarray,
+                         ends: np.ndarray) -> list[bytes]:
+    """LEB128-encode a batch of concatenated value groups in ONE vectorized
+    pass, returning each group's bytes. Byte-identical to
+    ``[vbyte_encode(values[s:e]) for s, e in zip(starts, ends)]`` — the
+    LEB128 stream has no header, so a group's encoding is exactly its
+    slice of the batch encoding. Exists because a per-group encode loop is
+    O(groups) Python calls: packing tens of millions of tiny (pair,
+    segment) groups per build dominated the phrase stage (measured 1097 s
+    of a 1408 s 1M-doc 2-core build, r5)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return [b""] * len(starts)
+    if int(v.max()) >= (1 << 35):
+        raise OverflowError(f"vbyte_encode: value {int(v.max())} exceeds 35 bits")
+    nb = np.ones(v.size, dtype=np.int64)
+    for t in _THRESH:
+        nb += v >= t
+    offs = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(nb, out=offs[1:])
+    out = np.empty(int(offs[-1]), dtype=np.uint8)
+    val_starts = offs[:-1]
+    for k in range(5):
+        mask = nb > k
+        if not mask.any():
+            break
+        byte = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nb[mask] - 1 > k).astype(np.uint8) << 7
+        out[val_starts[mask] + k] = byte.astype(np.uint8) | cont
+    mv = memoryview(out.tobytes())
+    return [bytes(mv[offs[s]:offs[e]]) for s, e in zip(starts, ends)]
+
+
+def pack_ids_grouped(sorted_ids: np.ndarray, starts: np.ndarray,
+                     ends: np.ndarray) -> list[bytes]:
+    """Per-group :func:`pack_ids` over concatenated groups of ascending ids
+    (each group sorted; ids need not be related across groups), fully
+    vectorized. Byte-identical to
+    ``[pack_ids(sorted_ids[s:e]) for s, e in zip(starts, ends)]``."""
+    ids = np.asarray(sorted_ids, dtype=np.uint64)
+    if ids.size == 0:
+        return [b""] * len(starts)
+    deltas = np.empty_like(ids)
+    deltas[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=deltas[1:])
+    # cross-group positions may wrap (next group can start below the
+    # previous group's last id) — overwritten with the group-first value
+    # before any encode looks at them. An empty group's start == its end
+    # and may sit at ids.size: nothing to fix up, its slice is empty.
+    s = np.asarray(starts, dtype=np.int64)
+    s = s[s < ids.size]
+    deltas[s] = ids[s]
+    return vbyte_encode_grouped(deltas, starts, ends)
+
+
 def unpack_ids(ids_bin: bytes) -> np.ndarray:
     return delta_decode(vbyte_decode(ids_bin)).astype(np.int64)
