@@ -65,7 +65,7 @@ from pyspark.sql import types as T
 from veloci_spark.config import IndexConfig
 from veloci_spark.scoring import index_score_u32
 from veloci_spark.tokenizer import _runs_re, _sep_set
-from veloci_spark.vbyte import delta_encode, vbyte_encode
+from veloci_spark.vbyte import pack_ids_grouped, vbyte_encode_grouped
 
 # On-disk index layout version. Bump whenever the physical layout of any
 # stage output changes (schema, encoding, partitioning). Resume validation
@@ -715,67 +715,76 @@ def _pack_partition_factory(index_dir: str, block_docs: int, segment_docs: int,
             change = np.empty(n, dtype=bool)
             change[0] = True
             change[1:] = (tids[1:] != tids[:-1]) | (segs[1:] != segs[:-1]) | (fidx[1:] != fidx[:-1])
-            starts = np.flatnonzero(change)
-            ends = np.append(starts[1:], n)
-            out = {k: [] for k in ("field", "term_id", "segment", "df", "max_score",
-                                   "docs_bin", "scores_bin", "block_max")}
-            for s, e in zip(starts, ends):
-                d = docs[s:e]
-                sc = scores[s:e]
-                if fidx[s] in nested_idx and e - s > 1:
-                    # 1:n field: each value is its own text. Duplicate
-                    # (term, doc, pos) entries (exact-text + token of the
-                    # same value string) SUM; the anchor (doc) score is the
-                    # MAX over its values — the reference token→anchor
-                    # max-dedup (search_field.rs:449-463) precomputed at
-                    # build time (scores are static).
-                    p = poss[s:e]
-                    vstart = np.flatnonzero(np.concatenate(
-                        ([True], (d[1:] != d[:-1]) | (p[1:] != p[:-1]))))
-                    dv = d[vstart]
-                    sv = np.add.reduceat(sc, vstart)
-                    dstart = np.flatnonzero(np.concatenate(([True], dv[1:] != dv[:-1])))
-                    d = dv[dstart]
-                    sc = np.maximum.reduceat(sv, dstart)
-                elif e - s > 1 and (d[1:] == d[:-1]).any():
-                    # duplicate (term, doc) entries (exact-text + token of the
-                    # same string): scores are SUMMED (create.rs:388-413).
-                    # Rows arrive doc-sorted, so duplicates are adjacent —
-                    # summing here replaces a corpus-wide groupBy.
-                    dstart = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
-                    d = d[dstart]
-                    sc = np.add.reduceat(sc, dstart)
-                # doc ids are stored SEGMENT-RELATIVE (doc_id - segment*segment_docs):
-                # bounded by segment_docs, so the 5-byte LEB128 cap (35 bits)
-                # never truncates even at 10^12 absolute doc ids. The query
-                # kernel adds the segment base back after decode.
-                rel = d.astype(np.uint64) - np.uint64(int(segs[s]) * segment_docs)
-                n_run = len(d)  # post-dedup length: df/blocks must use this
-                docs_bin = vbyte_encode(delta_encode(rel))
-                scores_bin = vbyte_encode(sc)
-                nb = (n_run + block_docs - 1) // block_docs
-                bmax = np.empty(nb, dtype=np.uint32)
-                for b in range(nb):
-                    bmax[b] = sc[b * block_docs:(b + 1) * block_docs].max()
-                out["field"].append((field_names or [])[int(fidx[s])])
-                out["term_id"].append(tids[s])
-                out["segment"].append(segs[s])
-                out["df"].append(n_run)
-                out["max_score"].append(int(sc.max()))
-                out["docs_bin"].append(docs_bin)
-                out["scores_bin"].append(scores_bin)
-                out["block_max"].append(bmax.tobytes())
-                n_postings += n_run
-                n_bytes += len(docs_bin) + len(scores_bin)
+            # ---- batch-wide dedup/merge — no per-group Python loop (one
+            # iteration per (term, segment) group paid ~40 µs interpreter
+            # overhead × millions of groups per build; same pathology the
+            # r5 phrase-pack fix removed). Two reduceat stages over the
+            # WHOLE batch:
+            #   value level (group, doc, pos): duplicate entries
+            #   (exact-text + token of the same string) SUM
+            #   (create.rs:388-413);
+            #   doc level (group, doc): nested (1:n) fields take the MAX
+            #   over the doc's values — the reference token→anchor
+            #   max-dedup (search_field.rs:449-463) precomputed at build
+            #   time (scores are static) — while flat fields keep the SUM
+            #   (per-doc sum of per-(doc,pos) sums ≡ per-doc sum).
+            vmask = change.copy()
+            vmask[1:] |= (docs[1:] != docs[:-1]) | (poss[1:] != poss[:-1])
+            iv = np.flatnonzero(vmask)
+            sv = np.add.reduceat(scores, iv)
+            dv, change_v = docs[iv], change[iv]
+            dmask = change_v.copy()
+            dmask[1:] |= dv[1:] != dv[:-1]
+            id_d = np.flatnonzero(dmask)
+            sum_d = np.add.reduceat(sv, id_d)
+            max_d = np.maximum.reduceat(sv, id_d)
+            fidx_d = fidx[iv][id_d].astype(np.int64)
+            nested_lut = np.zeros(max(len(field_names or []), 1), dtype=bool)
+            for i in nested_idx:
+                nested_lut[i] = True
+            score_d = np.where(nested_lut[fidx_d], max_d, sum_d)
+            docs_d = dv[id_d]
+            segs_d = segs[iv][id_d].astype(np.int64)
+            starts = np.flatnonzero(change_v[id_d])
+            ends = np.append(starts[1:], len(id_d))
+            # doc ids are stored SEGMENT-RELATIVE (doc_id - segment*segment_docs):
+            # bounded by segment_docs, so the 5-byte LEB128 cap (35 bits)
+            # never truncates even at 10^12 absolute doc ids. The query
+            # kernel adds the segment base back after decode. ONE batched
+            # delta+VByte encode per column, sliced per group —
+            # byte-identical to the per-group codec (property-tested).
+            rel = docs_d.astype(np.uint64) - (segs_d * segment_docs).astype(np.uint64)
+            docs_bins = pack_ids_grouped(rel, starts, ends)
+            scores_bins = vbyte_encode_grouped(score_d, starts, ends)
+            df = (ends - starts).astype(np.int64)
+            max_score = np.maximum.reduceat(score_d, starts)
+            # block-max: the common df ≤ block_docs group is one block equal
+            # to max_score; longer groups take the exact per-block path
+            ms32 = max_score.astype("<u4")
+            block_max = [None] * len(starts)
+            for g in range(len(starts)):
+                if df[g] <= block_docs:
+                    block_max[g] = ms32[g].tobytes()
+                else:
+                    sc = score_d[starts[g]:ends[g]]
+                    nb = (len(sc) + block_docs - 1) // block_docs
+                    bmax = np.empty(nb, dtype=np.uint32)
+                    for b in range(nb):
+                        bmax[b] = sc[b * block_docs:(b + 1) * block_docs].max()
+                    block_max[g] = bmax.tobytes()
+            names_arr = np.asarray(field_names or [], dtype=object)
+            n_postings += int(df.sum())
+            n_bytes += (sum(len(b) for b in docs_bins)
+                        + sum(len(b) for b in scores_bins))
             yield pd.DataFrame({
-                "field": out["field"],
-                "term_id": pd.Series(out["term_id"], dtype="int64"),
-                "segment": pd.Series(out["segment"], dtype="int32"),
-                "df": pd.Series(out["df"], dtype="int32"),
-                "max_score": pd.Series(out["max_score"], dtype="int64"),
-                "docs_bin": out["docs_bin"],
-                "scores_bin": out["scores_bin"],
-                "block_max": out["block_max"],
+                "field": names_arr[fidx_d[starts]],
+                "term_id": pd.Series(tids[iv][id_d][starts], dtype="int64"),
+                "segment": pd.Series(segs_d[starts], dtype="int32"),
+                "df": pd.Series(df, dtype="int32"),
+                "max_score": pd.Series(max_score.astype(np.int64), dtype="int64"),
+                "docs_bin": docs_bins,
+                "scores_bin": scores_bins,
+                "block_max": block_max,
             })
         dt = max(time.time() - t0, 1e-9)
         _write_checkpoint(index_dir, "pack", task_id, {
