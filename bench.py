@@ -287,6 +287,23 @@ def main_scaling():
     # pay the same per-page cost, so the RATIO stays clean even degraded —
     # the flag contextualizes the absolute docs_per_sec numbers.
     health = probe_host_health()
+    # Spark-free control: how the raw vectorized pack computation itself
+    # scales N→4N on this host (fixed work per pinned process). The build's
+    # measured ratio is adjudicated against this hardware ceiling — on a
+    # real cluster 4N executors bring 4N memory controllers and the
+    # ceiling does not bind (BENCH/BASELINE.md §2, r5).
+    kernel_probe = None
+    if os.environ.get("SCALE_KERNEL_PROBE", "1") == "1":
+        kp = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "kernel_scaling_probe.py"),
+             str(base_n)],
+            capture_output=True, text=True, timeout=1800)
+        try:
+            kernel_probe = json.loads(kp.stdout.strip().splitlines()[-1])
+        except Exception:  # noqa: BLE001 — probe is advisory, never fatal
+            kernel_probe = None
     corpus = materialize_synth_corpus(n_docs)
     results = {}
     trials = int(os.environ.get("SCALE_TRIALS", "2"))
@@ -342,6 +359,7 @@ def main_scaling():
                                "docs_per_sec": round(t_4n, 1),
                                "stages": results[base_n * 4].get("stages")},
         "scaling_efficiency": round(eff, 3),
+        "kernel_probe": kernel_probe,
         **health,
     }))
 
