@@ -282,31 +282,6 @@ _VALUE_ENTRY_SCHEMA = T.StructType([
 ])
 
 
-def _batch_token_entries(runs_list: list):
-    """Batch-wide per-text token aggregation: for a list of per-text run
-    lists, return (text_of, token, best_pos, n_tokens, cnt) flat arrays —
-    one output row per distinct (text, token). The per-text dict loop this
-    replaces executed one interpreted iteration per token OCCURRENCE
-    (hundreds of millions per 1M-doc build); here grouping runs as ONE
-    pandas factorize + np.unique over the whole Arrow batch. np.unique's
-    return_index yields each key's FIRST flat occurrence, and flat order
-    is text-major position-ascending — so best_pos (first position per
-    token per text, calculate_score.rs:13-29) falls out exactly."""
-    from itertools import chain
-
-    lens = np.fromiter((len(r) for r in runs_list), np.int64, len(runs_list))
-    flat = np.array(list(chain.from_iterable(runs_list)), dtype=object)
-    text_of = np.repeat(np.arange(len(lens)), lens)
-    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-    pos = np.arange(len(flat)) - starts[text_of]
-    codes = pd.factorize(flat)[0]
-    key = text_of * (np.int64(codes.max()) + 1) + codes
-    _ukey, first_idx, cnts = np.unique(key, return_index=True,
-                                       return_counts=True)
-    t = text_of[first_idx]
-    return t, flat[first_idx], pos[first_idx], lens[t], cnts
-
-
 def value_token_entry_rows(values: DataFrame, separators: str) -> DataFrame:
     """Per-(value, token) aggregated entries over a (doc_id, pos, value)
     relation — the nested-field twin of :func:`token_entry_rows`: n_tokens
@@ -320,37 +295,37 @@ def value_token_entry_rows(values: DataFrame, separators: str) -> DataFrame:
 
         rx = _re.compile(pattern)
         for pdf in iterator:
-            runs_list, kept_ids, kept_pos = [], [], []
+            ids_out, pos_out, tok_out, bp_out, ntok_out, cnt_out = [], [], [], [], [], []
             for doc_id, vpos, text in zip(pdf["doc_id"].values, pdf["pos"].values,
                                           pdf["value"].values):
                 if not text:
                     continue
                 runs = rx.findall(text)
-                if len(runs) < 2:
+                n = len(runs)
+                if n < 2:
                     continue
-                runs_list.append(runs)
-                kept_ids.append(doc_id)
-                kept_pos.append(vpos)
-            if not runs_list:
-                yield pd.DataFrame({
-                    "doc_id": pd.Series([], dtype="int64"),
-                    "pos": pd.Series([], dtype="int64"),
-                    "token": pd.Series([], dtype="object"),
-                    "best_pos": pd.Series([], dtype="int32"),
-                    "n_tokens": pd.Series([], dtype="int32"),
-                    "cnt": pd.Series([], dtype="int32"),
-                })
-                continue
-            t, tok, bp, ntok, cnt = _batch_token_entries(runs_list)
-            ids_arr = np.asarray(kept_ids, dtype=np.int64)
-            pos_arr = np.asarray(kept_pos, dtype=np.int64)
+                best: dict[str, int] = {}
+                cnt: dict[str, int] = {}
+                for p, tok in enumerate(runs):
+                    if tok not in best:
+                        best[tok] = p
+                        cnt[tok] = 1
+                    else:
+                        cnt[tok] += 1
+                k = len(best)
+                ids_out.extend([doc_id] * k)
+                pos_out.extend([vpos] * k)
+                tok_out.extend(best.keys())
+                bp_out.extend(best.values())
+                ntok_out.extend([n] * k)
+                cnt_out.extend(cnt.values())
             yield pd.DataFrame({
-                "doc_id": pd.Series(ids_arr[t], dtype="int64"),
-                "pos": pd.Series(pos_arr[t], dtype="int64"),
-                "token": pd.Series(tok, dtype="object"),
-                "best_pos": pd.Series(bp, dtype="int32"),
-                "n_tokens": pd.Series(ntok, dtype="int32"),
-                "cnt": pd.Series(cnt, dtype="int32"),
+                "doc_id": pd.Series(ids_out, dtype="int64"),
+                "pos": pd.Series(pos_out, dtype="int64"),
+                "token": pd.Series(tok_out, dtype="object"),
+                "best_pos": pd.Series(bp_out, dtype="int32"),
+                "n_tokens": pd.Series(ntok_out, dtype="int32"),
+                "cnt": pd.Series(cnt_out, dtype="int32"),
             })
 
     return values.select("doc_id", "pos", "value").mapInPandas(
@@ -376,32 +351,34 @@ def token_entry_rows(docs: DataFrame, field: str, separators: str) -> DataFrame:
 
         rx = _re.compile(pattern)
         for pdf in iterator:
-            runs_list, kept_ids = [], []
+            ids_out, tok_out, pos_out, ntok_out, cnt_out = [], [], [], [], []
             for doc_id, text in zip(pdf["doc_id"].values, pdf[field].values):
                 if not text:
                     continue
                 runs = rx.findall(text)
-                if len(runs) < 2:
+                n = len(runs)
+                if n < 2:
                     continue
-                runs_list.append(runs)
-                kept_ids.append(doc_id)
-            if not runs_list:
-                yield pd.DataFrame({
-                    "doc_id": pd.Series([], dtype="int64"),
-                    "token": pd.Series([], dtype="object"),
-                    "best_pos": pd.Series([], dtype="int32"),
-                    "n_tokens": pd.Series([], dtype="int32"),
-                    "cnt": pd.Series([], dtype="int32"),
-                })
-                continue
-            t, tok, bp, ntok, cnt = _batch_token_entries(runs_list)
-            ids_arr = np.asarray(kept_ids, dtype=np.int64)
+                best: dict[str, int] = {}
+                cnt: dict[str, int] = {}
+                for pos, tok in enumerate(runs):
+                    if tok not in best:
+                        best[tok] = pos
+                        cnt[tok] = 1
+                    else:
+                        cnt[tok] += 1
+                k = len(best)
+                ids_out.extend([doc_id] * k)
+                tok_out.extend(best.keys())
+                pos_out.extend(best.values())
+                ntok_out.extend([n] * k)
+                cnt_out.extend(cnt.values())
             yield pd.DataFrame({
-                "doc_id": pd.Series(ids_arr[t], dtype="int64"),
-                "token": pd.Series(tok, dtype="object"),
-                "best_pos": pd.Series(bp, dtype="int32"),
-                "n_tokens": pd.Series(ntok, dtype="int32"),
-                "cnt": pd.Series(cnt, dtype="int32"),
+                "doc_id": pd.Series(ids_out, dtype="int64"),
+                "token": pd.Series(tok_out, dtype="object"),
+                "best_pos": pd.Series(pos_out, dtype="int32"),
+                "n_tokens": pd.Series(ntok_out, dtype="int32"),
+                "cnt": pd.Series(cnt_out, dtype="int32"),
             })
 
     return docs.select("doc_id", field).mapInPandas(entries, schema=_ENTRY_SCHEMA)
@@ -523,40 +500,6 @@ _PAIR_SCHEMA = T.StructType([
 ])
 
 
-def _batch_pairs(runs_list: list, seps: frozenset):
-    """Batch-wide distinct adjacent non-separator pairs per text unit:
-    (text_of, tok_a, tok_b) flat arrays, deduped within each unit. Same
-    interpreter-loop removal as :func:`_batch_token_entries` — the
-    separator test runs once per DISTINCT token (factorize), adjacency and
-    per-unit dedup are vectorized index math. Output order is sorted per
-    unit instead of first-appearance; pair consumers are shuffles/joins
-    and the contract is the row MULTISET (parity-tested vs the SQL twin).
-    """
-    from itertools import chain
-
-    lens = np.fromiter((len(r) for r in runs_list), np.int64, len(runs_list))
-    flat = np.array(list(chain.from_iterable(runs_list)), dtype=object)
-    text_of = np.repeat(np.arange(len(lens)), lens)
-    codes, uniq = pd.factorize(flat)
-    uv = np.asarray(uniq, dtype=object)
-    is_sep_u = np.fromiter((u[0] in seps for u in uv), bool, len(uv))
-    ik = np.flatnonzero(~is_sep_u[codes])
-    empty = (np.empty(0, dtype=np.int64),) * 3
-    if len(ik) < 2:
-        return empty
-    same = text_of[ik[1:]] == text_of[ik[:-1]]
-    a = codes[ik[:-1]][same]
-    b = codes[ik[1:]][same]
-    t = text_of[ik[1:]][same]
-    if not len(t):
-        return empty
-    order = np.lexsort((b, a, t))
-    a, b, t = a[order], b[order], t[order]
-    first = np.ones(len(t), dtype=bool)
-    first[1:] = (t[1:] != t[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-    return t[first], uv[a[first]], uv[b[first]]
-
-
 def pair_rows(docs: DataFrame, field: str, separators: str) -> DataFrame:
     """Distinct adjacent non-separator token pairs per doc, emitted directly
     from the tokenize kernel (doc-local — replaces a window ``lag`` shuffle
@@ -570,22 +513,28 @@ def pair_rows(docs: DataFrame, field: str, separators: str) -> DataFrame:
         rx = _re.compile(pattern)
         seps = _sep_set(separators)
         for pdf in iterator:
-            runs_list, kept_ids = [], []
+            ids_out, a_out, b_out = [], [], []
             for doc_id, text in zip(pdf["doc_id"].values, pdf[field].values):
                 if not text:
                     continue
                 runs = rx.findall(text)
                 if len(runs) < 2:
                     continue
-                runs_list.append(runs)
-                kept_ids.append(doc_id)
-            t, a, b = (_batch_pairs(runs_list, seps) if runs_list
-                       else ((np.empty(0, dtype=np.int64),) * 3))
-            ids_arr = np.asarray(kept_ids, dtype=np.int64)
+                seen = set()
+                prev = None
+                for tok in runs:
+                    if tok[0] in seps:
+                        continue
+                    if prev is not None and (prev, tok) not in seen:
+                        seen.add((prev, tok))
+                        ids_out.append(doc_id)
+                        a_out.append(prev)
+                        b_out.append(tok)
+                    prev = tok
             yield pd.DataFrame({
-                "doc_id": pd.Series(ids_arr[t] if len(t) else [], dtype="int64"),
-                "tok_a": pd.Series(a, dtype="object"),
-                "tok_b": pd.Series(b, dtype="object"),
+                "doc_id": pd.Series(ids_out, dtype="int64"),
+                "tok_a": pd.Series(a_out, dtype="object"),
+                "tok_b": pd.Series(b_out, dtype="object"),
             })
 
     return docs.select("doc_id", field).mapInPandas(pairs, schema=_PAIR_SCHEMA)
@@ -607,25 +556,28 @@ def value_pair_rows(values: DataFrame, separators: str) -> DataFrame:
         rx = _re.compile(pattern)
         seps = _sep_set(separators)
         for pdf in iterator:
-            # the dedup unit is the VALUE row (sibling values of one doc
-            # each re-emit their pairs), so each kept value is its own
-            # text unit in the batch kernel
-            runs_list, kept_ids = [], []
+            ids_out, a_out, b_out = [], [], []
             for doc_id, text in zip(pdf["doc_id"].values, pdf["value"].values):
                 if not text:
                     continue
                 runs = rx.findall(text)
                 if len(runs) < 2:
                     continue
-                runs_list.append(runs)
-                kept_ids.append(doc_id)
-            t, a, b = (_batch_pairs(runs_list, seps) if runs_list
-                       else ((np.empty(0, dtype=np.int64),) * 3))
-            ids_arr = np.asarray(kept_ids, dtype=np.int64)
+                seen = set()
+                prev = None
+                for tok in runs:
+                    if tok[0] in seps:
+                        continue
+                    if prev is not None and (prev, tok) not in seen:
+                        seen.add((prev, tok))
+                        ids_out.append(doc_id)
+                        a_out.append(prev)
+                        b_out.append(tok)
+                    prev = tok
             yield pd.DataFrame({
-                "doc_id": pd.Series(ids_arr[t] if len(t) else [], dtype="int64"),
-                "tok_a": pd.Series(a, dtype="object"),
-                "tok_b": pd.Series(b, dtype="object"),
+                "doc_id": pd.Series(ids_out, dtype="int64"),
+                "tok_a": pd.Series(a_out, dtype="object"),
+                "tok_b": pd.Series(b_out, dtype="object"),
             })
 
     return values.select("doc_id", "value").mapInPandas(pairs, schema=_PAIR_SCHEMA)
