@@ -1,0 +1,438 @@
+"""Golden rankings ported from the reference's own JMDict-style corpus
+(/root/reference/tests/all/tests.rs get_test_data, :45-241) — the main
+end-to-end battery the reference gates on. Each test cites the reference
+test function it reproduces; assertions are on the same observable
+(hit count, winning document's content) against the same 16-doc corpus.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import types as T
+
+_F32 = np.float32
+
+
+def jmdict_rows():
+    # /root/reference/tests/all/tests.rs:45-241 — doc order = doc_id
+    return [
+        {"doc_id": 0, "ignore_field": "", "commonness": 123456,
+         "ent_seq": "99999", "tags": ["nice", "cool"]},
+        {"doc_id": 1, "nofulltext": "my tokens", "commonness": 20,
+         "tags": ["nice", "cool"],
+         "kanji": [{"text": "偉容", "commonness": 0},
+                   {"text": "威容", "commonness": 5}],
+         "kana": [{"text": "いよう", "romaji": "Iyou", "commonness": 5}],
+         "meanings": {"eng": ["karlo", "dignity", "majestic appearance",
+                              "will testo"],
+                      "ger": ["majestätischer Anblick (m)",
+                              "majestätisches Aussehen (n)", "Majestät (f)"]},
+         "ent_seq": "1587680"},
+        {"doc_id": 2, "commonness": 20, "tags": ["nice"],
+         "kanji": [{"text": "意欲", "commonness": 40},
+                   {"text": "意慾", "commonness": 0}],
+         "kana": [{"text": "いよく", "romaji": "Iyoku", "commonness": 40}],
+         "meanings": {"eng": ["will", "urge", "having a long torso"],
+                      "ger": ["Wollen (n)", "Wille (m)", "Begeisterung (f)",
+                              "begeistern"]},
+         "ent_seq": "1587690"},
+        {"doc_id": 3, "meanings": {"eng": ["karl der große"]}},
+        {"doc_id": 4, "id": 1234566, "gender": "male",
+         "tags": ["awesome", "cool"], "commonness": 500,
+         "kanji": [{"text": "意慾", "commonness": 20}],
+         "field1": [{"text": "awesome", "rank": 1}],
+         "kana": [{"text": "いよく"}],
+         "meanings": {"eng": ["test1"],
+                      "ger": ["der test", "das ist ein guter Treffer"]},
+         "ent_seq": "1587700"},
+        {"doc_id": 5, "id": 123456, "tags": ["nice", "cool"],
+         "gender": "female", "commonness": 551,
+         "kanji": [{"text": "何の", "commonness": 526}],
+         "field1": [{"text": "awesome"}, {"text": "nixhit"}],
+         "kana": [{"text": "どの", "romaji": "Dono", "commonness": 25}],
+         "meanings": {"ger": ["welch", "guter nicht Treffer",
+                              "alle meine Words", "text", "localität"]},
+         "ent_seq": "1920240",
+         "mylongtext": "Prolog:\nthis is a story of a guy who went out to "
+                       "rule the world, but then died. the end"},
+        {"doc_id": 6, "commonness": 1,
+         "tags": ["nice", "cool"],
+         "kanji": [{"text": "柔らかい", "commonness": 57}],
+         "kana": [{"text": "やわらかい", "romaji": "Yawarakai",
+                   "commonness": 30}],
+         "meanings": {"ger": ["(1) weich", "stopword"]},
+         "ent_seq": "1605630"},
+        {"doc_id": 7, "meanings": {"ger": ["(1) 2 3 super nice weich"]},
+         "ent_seq": "9555"},
+        {"doc_id": 8, "meanings": {"ger": ["text localität",
+                                           "alle meine Words"]},
+         "ent_seq": "1000"},
+        {"doc_id": 9, "commonness": 515151, "ent_seq": "25",
+         "tags": ["nice", "cool"]},
+        {"doc_id": 10, "title": "Die Erbin die Sünde", "type": "taschenbuch"},
+        {"doc_id": 11, "title": "Die Erbin", "type": "taschenbuch"},
+        {"doc_id": 12, "commonness": 30, "title": "COllectif",
+         "meanings": {"ger": ["boostemich"]}},
+        {"doc_id": 13, "commonness": 30, "float_value": 5.123,
+         "ent_seq": "26", "tags": ["nice", "coolo"]},
+        {"doc_id": 14, "commonness": 20, "ent_seq": "27", "my_bool": True,
+         "tags": ["Eis", "cool"]},
+        {"doc_id": 15, "commonness": 20, "ent_seq": "28",
+         "tags": ["nice", "cool"]},
+    ]
+
+
+_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("id", T.LongType()),
+    T.StructField("ignore_field", T.StringType()),
+    T.StructField("commonness", T.LongType()),
+    T.StructField("ent_seq", T.StringType()),
+    T.StructField("nofulltext", T.StringType()),
+    T.StructField("gender", T.StringType()),
+    T.StructField("title", T.StringType()),
+    T.StructField("type", T.StringType()),
+    T.StructField("mylongtext", T.StringType()),
+    T.StructField("float_value", T.DoubleType()),
+    T.StructField("my_bool", T.BooleanType()),
+    T.StructField("tags", T.ArrayType(T.StringType())),
+    T.StructField("kanji", T.ArrayType(T.StructType([
+        T.StructField("text", T.StringType()),
+        T.StructField("commonness", T.LongType())]))),
+    T.StructField("kana", T.ArrayType(T.StructType([
+        T.StructField("text", T.StringType()),
+        T.StructField("romaji", T.StringType()),
+        T.StructField("commonness", T.LongType())]))),
+    T.StructField("field1", T.ArrayType(T.StructType([
+        T.StructField("text", T.StringType()),
+        T.StructField("rank", T.LongType())]))),
+    T.StructField("meanings", T.StructType([
+        T.StructField("eng", T.ArrayType(T.StringType())),
+        T.StructField("ger", T.ArrayType(T.StringType()))])),
+])
+
+
+@pytest.fixture(scope="session")
+def jm_index(spark, tmp_path_factory):
+    from veloci_spark.build import build_index
+    from veloci_spark.config import FieldConfig, IndexConfig
+    from veloci_spark.search import FulltextIndex
+
+    d = str(tmp_path_factory.mktemp("jmidx"))
+    docs = spark.createDataFrame(jmdict_rows(), schema=_SCHEMA)
+    boost = dict(tokenize=False, phrase_pairs=False, token_texts=False)
+    cfg = IndexConfig(
+        fields=(FieldConfig("ent_seq"),
+                FieldConfig("nofulltext", tokenize=False),
+                FieldConfig("title"),
+                FieldConfig("type"),
+                FieldConfig("tags[]"),
+                FieldConfig("kanji[].text"),
+                FieldConfig("kana[].text"),
+                FieldConfig("kana[].romaji"),
+                FieldConfig("meanings.eng[]"),
+                FieldConfig("meanings.ger[]"),
+                FieldConfig("field1[].text"),
+                FieldConfig("field1[].rank", **boost),
+                FieldConfig("kanji[].commonness", **boost),
+                FieldConfig("commonness", **boost)),
+        doc_id_col="doc_id",
+        segment_docs=6,  # multi-segment on 16 docs
+    )
+    build_index(spark, docs, cfg, d)
+    return FulltextIndex(spark, d).cache()
+
+
+def _hit_docs(index, res, cols=None):
+    from veloci_spark.search import get_docs
+
+    ids = [h["doc_id"] for h in res["data"]]
+    docs = {d["doc_id"]: d for d in get_docs(index, ids, cols)}
+    return [docs[i] for i in ids]
+
+
+class TestSimpleSearch:
+    def test_simple_search(self, jm_index):
+        # tests.rs:267-280 simple_search
+        from veloci_spark.search import search
+
+        res = search(jm_index, {"search": {"terms": ["urge"],
+                                           "path": "meanings.eng[]"}})
+        assert res["num_hits"] == 1
+        doc = _hit_docs(jm_index, res, ["ent_seq", "commonness"])[0]
+        assert doc["ent_seq"] == "1587690"
+        assert doc["commonness"] == 20
+
+    def test_select_fields(self, jm_index):
+        # tests.rs:441-456 select_fields
+        from veloci_spark.search import search, select_docs
+
+        res = search(jm_index, {"search": {"terms": ["urge"],
+                                           "path": "meanings.eng[]"}})
+        assert res["num_hits"] == 1
+        sel = select_docs(jm_index, [res["data"][0]["doc_id"]],
+                          ["ent_seq", "tags[]"])
+        out = sel[res["data"][0]["doc_id"]]
+        assert out["ent_seq"] == "1587690"
+        assert out["tags[]"] == ["nice"]
+        assert "commonness" not in out  # didn't select
+
+    def test_two_tokens_to_same_anchor(self, jm_index):
+        # tests.rs:458-471 two_tokens_h_test_fn_the_same_anchor
+        from veloci_spark.search import search
+
+        res = search(jm_index, {"search": {
+            "terms": ["majestätischer"], "path": "meanings.ger[]",
+            "levenshtein_distance": 1}})
+        assert res["num_hits"] == 1
+        assert _hit_docs(jm_index, res, ["ent_seq"])[0]["ent_seq"] == "1587680"
+
+    def test_search_without_first_char_exact_match(self, jm_index):
+        # tests.rs:489-501
+        from veloci_spark.search import search
+
+        res = search(jm_index, {"search": {
+            "terms": ["najestätischer"], "path": "meanings.ger[]",
+            "levenshtein_distance": 1}})
+        assert res["num_hits"] == 1
+        assert _hit_docs(jm_index, res, ["ent_seq"])[0]["ent_seq"] == "1587680"
+
+    def test_search_word_non_tokenized(self, jm_index):
+        # tests.rs:541-553 (偉容 appears in one doc only)
+        from veloci_spark.search import search
+
+        res = search(jm_index, {"search": {"terms": ["偉容"],
+                                           "path": "kanji[].text"}})
+        assert res["num_hits"] == 1
+        assert _hit_docs(jm_index, res, ["ent_seq"])[0]["ent_seq"] == "1587680"
+
+    def test_disabled_tokenization(self, jm_index):
+        # tests.rs:555-566 — "tokens" must not match inside untokenized
+        # "my tokens"
+        from veloci_spark.search import search
+
+        res = search(jm_index, {"search": {"terms": ["tokens"],
+                                           "path": "nofulltext"}})
+        assert res["num_hits"] == 0
+        # the whole text still matches exactly
+        res = search(jm_index, {"search": {"terms": ["my tokens"],
+                                           "path": "nofulltext"}})
+        assert res["num_hits"] == 1
+
+    def test_search_on_non_subobject(self, jm_index):
+        # tests.rs:568-579
+        from veloci_spark.search import search
+
+        res = search(jm_index, {"search": {"terms": ["1587690"],
+                                           "path": "ent_seq"}})
+        assert res["num_hits"] == 1
+
+    def test_invalid_field_errors(self, jm_index):
+        # tests.rs:426-439 should_return_an_error_when_trying_to_query_an_
+        # invalid_field
+        from veloci_spark.search import search
+
+        with pytest.raises((KeyError, ValueError)):
+            search(jm_index, {"search": {"terms": ["test"],
+                                         "path": "notexisting"}})
+
+
+class TestRankingPreferences:
+    def test_prefer_exact_matches_to_tokenmatches(self, jm_index):
+        # tests.rs:503-514 — doc whose text IS "will" beats the doc with
+        # token "will" inside "will testo"
+        from veloci_spark.search import search
+
+        res = search(jm_index, {"search": {
+            "terms": ["will"], "path": "meanings.eng[]",
+            "levenshtein_distance": 1}})
+        top = _hit_docs(jm_index, res, ["meanings"])[0]
+        assert top["meanings"]["eng"][0] == "will"
+
+    def test_prefer_exact_tokenmatches_to_fuzzy_text_hits(self, jm_index):
+        # tests.rs:516-529 — token-exact "karl" (in "karl der große")
+        # beats fuzzy text "karlo"
+        from veloci_spark.search import search
+
+        res = search(jm_index, {"search": {
+            "terms": ["karl"], "path": "meanings.eng[]",
+            "levenshtein_distance": 1}})
+        top = _hit_docs(jm_index, res, ["meanings"])[0]
+        assert top["meanings"]["eng"][0] == "karl der große"
+
+    def test_prefer_short_results(self, jm_index):
+        # tests.rs:531-540 — query generator with phrase_pairs on
+        # "die erbin taschenbuch": the shorter title "Die Erbin" wins.
+        # The reference generator does not strip stopwords by default
+        # (query_generator.rs:175-245 — opt.stopwords defaults None).
+        from veloci_spark.query import search_query
+
+        res = search_query(jm_index, "die erbin taschenbuch",
+                           remove_stopwords=False)
+        top = _hit_docs(jm_index, res, ["title"])[0]
+        assert top["title"] == "Die Erbin"
+
+
+class TestConnectives:
+    def test_and_connect_hits_same_field(self, jm_index):
+        # tests.rs:581-593
+        from veloci_spark.search import search
+
+        res = search(jm_index, {"and": [
+            {"search": {"terms": ["aussehen"], "path": "meanings.ger[]"}},
+            {"search": {"terms": ["majestätisches"],
+                        "path": "meanings.ger[]"}}]})
+        assert res["num_hits"] == 1
+        assert _hit_docs(jm_index, res, ["ent_seq"])[0]["ent_seq"] == "1587680"
+
+    def test_and_connect_hits_different_fields(self, jm_index):
+        # tests.rs:595-608
+        from veloci_spark.search import search
+
+        res = search(jm_index, {"and": [
+            {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+            {"search": {"terms": ["majestic"], "path": "meanings.eng[]"}}]})
+        assert res["num_hits"] == 1
+        assert _hit_docs(jm_index, res, ["ent_seq"])[0]["ent_seq"] == "1587680"
+
+    def test_and_connect_different_fields_no_hit(self, jm_index):
+        # tests.rs:610-628
+        from veloci_spark.search import search
+
+        res = search(jm_index, {"and": [
+            {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+            {"search": {"terms": ["urge"], "path": "meanings.eng[]"}}]})
+        assert res["num_hits"] == 0
+
+    def test_and_same_text_in_different_docs(self, jm_index):
+        # tests.rs:630-649 — "words" appears in docs 5 and 8; AND with
+        # ent_seq 1000 isolates doc 8
+        from veloci_spark.search import search
+
+        res = search(jm_index, {"and": [
+            {"search": {"terms": ["words"], "path": "meanings.ger[]"}},
+            {"search": {"terms": ["1000"], "path": "ent_seq"}}]})
+        assert res["num_hits"] == 1
+        assert _hit_docs(jm_index, res, ["ent_seq"])[0]["ent_seq"] == "1000"
+
+    def test_or_connect_hits(self, jm_index):
+        # tests.rs:673-690 — "urge" doc wins over "majestät" doc
+        from veloci_spark.search import search
+
+        res = search(jm_index, {"or": [
+            {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+            {"search": {"terms": ["urge"], "path": "meanings.eng[]"}}]})
+        assert res["num_hits"] == 2
+        assert _hit_docs(jm_index, res, ["ent_seq"])[0]["ent_seq"] == "1587690"
+
+    def test_or_connect_hits_with_top(self, jm_index):
+        # tests.rs:652-671
+        from veloci_spark.search import search
+
+        res = search(jm_index, {"search_req": {"or": [
+            {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+            {"search": {"terms": ["urge"], "path": "meanings.eng[]"}}]},
+            "top": 1})
+        assert len(res["data"]) == 1
+        assert _hit_docs(jm_index, res, ["ent_seq"])[0]["ent_seq"] == "1587690"
+
+    def test_search_with_filter(self, jm_index):
+        # tests.rs:692-709
+        from veloci_spark.search import search
+
+        res = search(jm_index, {
+            "search_req": {"search": {"terms": ["urge"],
+                                      "path": "meanings.eng[]"}},
+            "filter": {"search": {"terms": ["1587690"], "path": "ent_seq"}}})
+        assert res["num_hits"] == 1
+
+    def test_or_with_filter(self, jm_index):
+        # tests.rs:711-737
+        from veloci_spark.search import search
+
+        res = search(jm_index, {
+            "search_req": {"or": [
+                {"search": {"terms": ["majestät"],
+                            "path": "meanings.ger[]"}},
+                {"search": {"terms": ["urge"], "path": "meanings.eng[]"}}]},
+            "filter": {"search": {"terms": ["1587690"], "path": "ent_seq"}}})
+        assert res["num_hits"] == 1
+
+    def test_or_with_filter_reusing_query(self, jm_index):
+        # tests.rs:739-761 — the filter subtree duplicates an OR leg; plan
+        # dedup must still evaluate it once and filter correctly
+        from veloci_spark.search import search
+
+        res = search(jm_index, {
+            "search_req": {"or": [
+                {"search": {"terms": ["majestät"],
+                            "path": "meanings.ger[]"}},
+                {"search": {"terms": ["urge"], "path": "meanings.eng[]"}}]},
+            "filter": {"search": {"terms": ["urge"],
+                                  "path": "meanings.eng[]"}}})
+        assert res["num_hits"] == 1
+
+
+class TestBoosts:
+    def test_find_2_values_from_token(self, jm_index):
+        # tests.rs:767-780 — 意慾 is a kanji[].text value in docs 2 and 4
+        from veloci_spark.search import search
+
+        res = search(jm_index, {"search": {"terms": ["意慾"],
+                                           "path": "kanji[].text"}})
+        assert res["num_hits"] == 2
+
+    def test_search_and_boosto(self, jm_index):
+        # tests.rs:782-797 — sibling-subfield Log10 boost keeps both hits
+        from veloci_spark.search import search
+
+        res = search(jm_index, {
+            "search_req": {"search": {"terms": ["意慾"],
+                                      "path": "kanji[].text"}},
+            "boost": [{"path": "kanji[].commonness", "boost_fun": "Log10",
+                       "param": 1}]})
+        assert res["num_hits"] == 2
+
+    def test_search_and_double_boost(self, jm_index):
+        # tests.rs:799-819 — anchor Log10 boost + expression boost with
+        # skip_when_score
+        from veloci_spark.search import search
+
+        res = search(jm_index, {
+            "search_req": {"search": {"terms": ["awesome"],
+                                      "path": "field1[].text"}},
+            "boost": [
+                {"path": "commonness", "boost_fun": "Log10", "param": 1},
+                {"path": "field1[].rank", "expression": "10 / $SCORE",
+                 "skip_when_score": [0]}]})
+        assert res["num_hits"] == 2
+
+    def test_search_and_boost_anchor(self, jm_index):
+        # tests.rs:821-839 — winner is the commonness-500 doc
+        from veloci_spark.search import search
+
+        res = search(jm_index, {
+            "search_req": {"search": {"terms": ["意慾"],
+                                      "path": "kanji[].text",
+                                      "levenshtein_distance": 0}},
+            "boost": [{"path": "commonness", "boost_fun": "Log10",
+                       "param": 1}]})
+        top = _hit_docs(jm_index, res, ["commonness"])[0]
+        assert top["commonness"] == 500
+
+
+class TestSuggestTerms:
+    def test_search_on_field_for_suggest_without_sorting(self, jm_index):
+        # tests.rs:902-934 — prefix "majes" d=0 on meanings.ger[] matches
+        # these dictionary entries (tokens ∪ storable full texts)
+        from veloci_spark.search import match_terms
+
+        m = match_terms(jm_index, "meanings.ger[]", "majes",
+                        starts_with=True, levenshtein=0)
+        assert sorted(m["term"]) == [
+            "Majestät",
+            "Majestät (f)",
+            "majestätischer",
+            "majestätischer Anblick (m)",
+            "majestätisches",
+            "majestätisches Aussehen (n)",
+        ]

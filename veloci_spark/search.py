@@ -659,6 +659,11 @@ def _collect_leaves(index: FulltextIndex, request: dict):
     # match all leaves against the dictionary; identity-field leaves stay
     # distributed (their "dictionary" is the doc store — matched=None)
     for leaf in leaves:
+        if leaf.field not in index.fields:
+            # reference behavior: querying an unindexed path is an error,
+            # not an empty result (tests.rs:426-439 "field does not exist
+            # {path}.textindex")
+            raise KeyError(f"field does not exist {leaf.field}.textindex")
         if index.fields.get(leaf.field, {}).get("identity"):
             leaf.matched = None
         else:
