@@ -420,6 +420,85 @@ class TestBoosts:
         assert top["commonness"] == 500
 
 
+class TestPerLegBoost:
+    def test_or_connect_search_and_boost_anchor(self, jm_index):
+        # tests.rs:841-871 should_or_connect_search_and_boost_anchor —
+        # each OR leg carries its own options.boost (leg 1: sibling
+        # field1[].rank, leg 2: anchor commonness); winner is the
+        # commonness-20 doc ("urge", boosted by its anchor commonness)
+        from veloci_spark.search import search
+
+        res = search(jm_index, {"or": [
+            {"search": {"terms": ["awesome"], "path": "field1[].text",
+                        "options": {"boost": [
+                            {"path": "field1[].rank", "boost_fun": "Log10",
+                             "param": 1}]}}},
+            {"search": {"terms": ["urge"], "path": "meanings.eng[]",
+                        "options": {"boost": [
+                            {"path": "commonness", "boost_fun": "Log10",
+                             "param": 1}]}}}]})
+        top = _hit_docs(jm_index, res, ["commonness"])[0]
+        assert top["commonness"] == 20
+
+    def test_or_connect_same_search(self, jm_index):
+        # tests.rs:873-900 should_or_connect_same_search — the duplicated
+        # leg dedups to one plan leaf; winner is the commonness-551 doc
+        # (equal scores break (score DESC, doc_id DESC))
+        from veloci_spark.search import search
+
+        res = search(jm_index, {"or": [
+            {"search": {"terms": ["awesome"], "path": "field1[].text"}},
+            {"search": {"terms": ["awesome"], "path": "field1[].text"}}]})
+        assert res["num_hits"] == 2
+        top = _hit_docs(jm_index, res, ["commonness"])[0]
+        assert top["commonness"] == 551
+
+    def test_per_leg_boost_matches_pyref(self, spark, tmp_path_factory):
+        # differential: composed per-leg evaluation vs the independent
+        # Python model, exact f32 equality on every rank + score
+        from veloci_spark import pyref
+        from veloci_spark.build import build_index
+        from veloci_spark.config import FieldConfig, IndexConfig
+        from veloci_spark.search import FulltextIndex, search
+
+        rows = [
+            {"doc_id": 0, "text": "red apple pie", "rank_": 3},
+            {"doc_id": 1, "text": "green apple", "rank_": 40},
+            {"doc_id": 2, "text": "apple apple orchard", "rank_": 0},
+            {"doc_id": 3, "text": "orchard of pears", "rank_": 7},
+            {"doc_id": 4, "text": "pears and apples", "rank_": None},
+        ]
+        cfg = IndexConfig(fields=(FieldConfig("text"),), doc_id_col="doc_id",
+                          segment_docs=2)
+        d = str(tmp_path_factory.mktemp("leggidx"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string, rank_ long")
+        build_index(spark, docs, cfg, d)
+        idx = FulltextIndex(spark, d)
+        ref = pyref.RefIndex(rows, cfg)
+        for req in [
+            {"or": [{"search": {"terms": ["apple"], "path": "text",
+                                "options": {"boost": [
+                                    {"path": "rank_", "boost_fun": "Log10",
+                                     "param": 1}]}}},
+                    {"search": {"terms": ["orchard"], "path": "text"}}],
+             "top": 10},
+            {"and": [{"search": {"terms": ["apple"], "path": "text",
+                                 "boost": [{"path": "rank_",
+                                            "boost_fun": "Multiply"}]}},
+                     {"search": {"terms": ["orchard"], "path": "text"}}],
+             "top": 10},
+            {"search": {"terms": ["pears"], "path": "text",
+                        "options": {"boost": [
+                            {"path": "rank_", "boost_fun": "Add"}]}},
+             "top": 10},
+        ]:
+            got = search(idx, req)
+            want = pyref.search_request(ref, req)
+            assert [h["doc_id"] for h in got["data"]] == [d_ for d_, _ in want]
+            for h, (_d, s) in zip(got["data"], want):
+                assert np.float32(h["score"]) == np.float32(s), req
+
+
 class TestSuggestTerms:
     def test_search_on_field_for_suggest_without_sorting(self, jm_index):
         # tests.rs:902-934 — prefix "majes" d=0 on meanings.ger[] matches

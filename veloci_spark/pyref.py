@@ -280,12 +280,20 @@ def _eval_scored(index: "RefIndex", node: dict) -> tuple[str, dict]:
     terms = leaf_req.get("terms") or [leaf_req["term"]]
     opts = _leaf_opts(leaf_req)
     boost = leaf_req.get("boost")
+    # per-leg boost-by-field (reference options.boost, tests.rs:843-871):
+    # specs applied to this leg's hits BEFORE the tree combine
+    field_boosts = (leaf_req.get("options") or {}).get("boost")
+    if isinstance(boost, (list, tuple)):
+        field_boosts = (list(field_boosts) if field_boosts else []) + list(boost)
+        boost = None
     legs = []
     for t in terms:
         matched = index.match_terms(field, t, **opts)
         hits = index.resolve_leaf(field, matched)
         if boost is not None:
             hits = {d: np.float32(s * np.float32(boost)) for d, s in hits.items()}
+        for spec in field_boosts or []:
+            _apply_field_boost(index, hits, spec)
         # tag identity: lowercased term; regex patterns keep the RAW pattern
         # (lowering mutates pattern semantics — `\W` → `\w`; case-sensitive
         # `(?-i:...)` variants must stay distinct)
@@ -381,20 +389,26 @@ def search_request(index: "RefIndex", request: dict):
     # anchor boost-by-field (Q13) — applied after kernel-side boosts, same
     # order as the engine (_apply_anchor_boosts runs post-kernel)
     for spec in request.get("boost", []):
-        from veloci_spark.scoring import boost_value_score, eval_boost_expression
-
-        col = spec["path"]
-        values_by_doc = {d["doc_id"]: d.get(col) for d in index.docs}
-        for doc in list(hits):
-            v = values_by_doc.get(doc)
-            v = np.float64("nan") if v is None else float(v)
-            if spec.get("expression") is not None:
-                hits[doc] = np.float32(eval_boost_expression(
-                    spec["expression"], [hits[doc]], [v])[0])
-            else:
-                hits[doc] = np.float32(boost_value_score(
-                    [hits[doc]], [v], spec.get("boost_fun", "Log10"),
-                    float(spec.get("param", 0.0)))[0])
-
+        _apply_field_boost(index, hits, spec)
 
     return top_k(hits, request.get("top", 10), request.get("skip", 0))
+
+
+def _apply_field_boost(index: "RefIndex", hits: dict, spec: dict) -> None:
+    """Boost every hit by a flat doc-store column, in place (the model
+    covers anchor-level paths; value-relative sibling boosts are asserted
+    against closed-form expectations in the engine tests instead)."""
+    from veloci_spark.scoring import boost_value_score, eval_boost_expression
+
+    col = spec["path"]
+    values_by_doc = {d["doc_id"]: d.get(col) for d in index.docs}
+    for doc in list(hits):
+        v = values_by_doc.get(doc)
+        v = np.float64("nan") if v is None else float(v)
+        if spec.get("expression") is not None:
+            hits[doc] = np.float32(eval_boost_expression(
+                spec["expression"], [hits[doc]], [v])[0])
+        else:
+            hits[doc] = np.float32(boost_value_score(
+                [hits[doc]], [v], spec.get("boost_fun", "Log10"),
+                float(spec.get("param", 0.0)))[0])

@@ -419,13 +419,19 @@ def _match_terms_local(local: pd.DataFrame, lower: str, n_chars: int,
 
 
 class _Leaf:
-    __slots__ = ("leaf_id", "field", "term", "opts", "tag", "boost", "matched")
+    __slots__ = ("leaf_id", "field", "term", "opts", "tag", "boost",
+                 "field_boosts", "matched")
 
-    def __init__(self, leaf_id, field, term, opts, boost):
+    def __init__(self, leaf_id, field, term, opts, boost, field_boosts=None):
         self.leaf_id = leaf_id
         self.field = field
         self.term = term
         self.opts = opts
+        # per-leg boost-by-field specs (reference RequestSearchPart
+        # options.boost, tests.rs:843-871): applied to THIS leg's hits
+        # before the tree combine — unlike request-level `boost`, which
+        # applies to the combined result
+        self.field_boosts = field_boosts
         # OR distinct-tag identity: lowercased query term (matching is
         # case-insensitive, set_op.rs per-term grouping) — EXCEPT regex
         # leaves, where lowercasing mutates the pattern itself (`\W` → `\w`,
@@ -460,16 +466,22 @@ def _parse_tree(node: dict, leaves: list, dedup: dict):
     if opts["is_regex"] and leaf_req.get("ignore_case", True) is False:
         terms = [f"(?-i:{t})" for t in terms]
     boost = leaf_req.get("boost")
+    # per-leg field-boost specs: reference "options": {"boost": [...]}
+    # (a LIST of boost-by-field specs, distinct from the scalar multiplier)
+    field_boosts = (leaf_req.get("options") or {}).get("boost")
+    if isinstance(boost, (list, tuple)):
+        field_boosts = (list(field_boosts) if field_boosts else []) + list(boost)
+        boost = None
     children = []
     for t in terms:
         # regex patterns dedup by RAW pattern (lowering `\W` yields `\w`,
         # and `(?-i:...)` patterns differing only in case are distinct)
         key = (field, t if opts["is_regex"] else t.lower(),
-               tuple(sorted(opts.items())), boost)
+               tuple(sorted(opts.items())), boost, repr(field_boosts))
         if key in dedup:
             leaf = dedup[key]
         else:
-            leaf = _Leaf(len(leaves), field, t, opts, boost)
+            leaf = _Leaf(len(leaves), field, t, opts, boost, field_boosts)
             leaves.append(leaf)
             dedup[key] = leaf
         children.append({"op": "leaf", "leaf_id": leaf.leaf_id, "tag": leaf.tag,
@@ -645,7 +657,7 @@ def _collect_leaves(index: FulltextIndex, request: dict):
         for t in tb.get("terms", []):
             key = (field, t.lower(), tuple(sorted({
                 "levenshtein": 0, "starts_with": False, "is_regex": False,
-                "top": None, "skip": 0}.items())), None)
+                "top": None, "skip": 0}.items())), None, repr(None))
             if key in dedup:
                 leaf = dedup[key]
             else:
@@ -955,6 +967,101 @@ def search_df(index: FulltextIndex, request: dict) -> DataFrame:
     return ranked.limit(top)
 
 
+def _leaf_kernel_rows(index: FulltextIndex, leaf):
+    """Kernel input rows (postings or identity) for ONE leaf, or None when
+    the leaf matched nothing."""
+    if leaf.matched is None:
+        return _identity_leaf_rows(index, leaf)
+    if leaf.matched.empty:
+        return None
+    spark = index.spark
+    matched_df = spark.createDataFrame(
+        [(leaf.field, int(r["term_id"]), leaf.leaf_id, float(r["score"]))
+         for _, r in leaf.matched.iterrows()],
+        "field string, term_id long, leaf_id int, term_score float")
+    tids = [int(t) for t in leaf.matched["term_id"]]
+    return (
+        index.postings
+        .where((F.col("field") == leaf.field)
+               & _tid_pushdown_pred(F.col("term_id"), tids))
+        .join(F.broadcast(matched_df), on=["field", "term_id"])
+        .select("segment", "leaf_id", "term_score", "max_score",
+                "docs_bin", "scores_bin")
+        .withColumn("doc_ids", F.lit(None).cast("array<long>"))
+        .withColumn("phrase_leaf", F.lit(-1))
+    )
+
+
+def _combine_tree_factory(tree: dict):
+    """mapInPandas kernel over doc_id-partitioned (leaf_id, doc_id, score)
+    rows: per partition, rebuild each leaf's (ids asc, f32 scores) arrays
+    and run :func:`eval_tree` — the exact combine the segment kernel uses,
+    so composed evaluation is bit-identical to in-kernel evaluation. Sound
+    per-partition because the combine is per-doc and the repartition hashes
+    by doc_id (all of a doc's leg rows land together)."""
+
+    def fn(iterator):
+        parts = []
+        for pdf in iterator:
+            parts.append(pdf)
+        if not parts:
+            yield _hits_pdf(np.empty(0, np.int64), np.empty(0, _F32), 0)
+            return
+        allp = pd.concat(parts, ignore_index=True)
+        leaf_hits = {}
+        for lid, g in allp.groupby("leaf_id"):
+            ids = g["doc_id"].values.astype(np.int64)
+            sc = g["score"].values.astype(_F32)
+            order = np.argsort(ids)
+            leaf_hits[int(lid)] = (ids[order], sc[order])
+        ids, sc = eval_tree(tree, leaf_hits)
+        yield _hits_pdf(ids, sc, len(ids))
+
+    return fn
+
+
+def _composed_search_hits(index: FulltextIndex, tree: dict, leaves) -> DataFrame:
+    """Per-leg-boost evaluation (reference options.boost, tests.rs:843-871):
+    one emit-all segment-kernel pass per leaf, each leg's field boosts
+    applied to its own hits (the existing request-level machinery,
+    :func:`_apply_anchor_boosts`, reused per leg), then one doc_id-hash
+    exchange into :func:`_combine_tree_factory` for the tree combine.
+
+    Scale shape: kernel passes are per-leaf (like the reference's
+    per-RequestSearchPart plan steps); the single extra shuffle moves only
+    the per-leg HIT sets (not postings, not documents) — the unavoidable
+    price of reordering boosts applied below the combine."""
+    legs = []
+    for leaf in leaves:
+        rows = _leaf_kernel_rows(index, leaf)
+        if rows is None:
+            continue
+        plan = {"tree": {"op": "leaf", "leaf_id": leaf.leaf_id,
+                         "tag": leaf.tag, "boost": None},
+                "filter": None, "phrase_leaves": [], "term_boost_leaves": [],
+                "locality": False, "post_locality": False,
+                "scored_leaf_ids": {leaf.leaf_id},
+                "locality_leaves": [], "top": None, "count_hits": False,
+                "top_extra": {}, "seg_deleted": {},
+                "segment_docs": int(index.manifest["segment_docs"]),
+                "quantize_f16":
+                    index.manifest.get("scoring", "veloci") == "veloci"}
+        kernel = _segment_kernel_factory(plan, {leaf.leaf_id})
+        h = rows.repartition("segment").mapInPandas(kernel, schema=_HITS_SCHEMA)
+        if leaf.field_boosts:
+            h = _apply_anchor_boosts(index, h, {"boost": leaf.field_boosts},
+                                     [leaf])
+        legs.append(h.select(F.lit(leaf.leaf_id).alias("leaf_id"),
+                             "doc_id", "score"))
+    if not legs:
+        return index.spark.createDataFrame([], schema=_HITS_SCHEMA)
+    union = legs[0]
+    for df in legs[1:]:
+        union = union.unionByName(df)
+    return (union.repartition("doc_id")
+            .mapInPandas(_combine_tree_factory(tree), schema=_HITS_SCHEMA))
+
+
 def _search_hits(index: FulltextIndex, request: dict, need_all: bool,
                  count_hits: bool = False):
     """Run the segment kernel. Returns (hits DataFrame, plan context).
@@ -971,6 +1078,23 @@ def _search_hits(index: FulltextIndex, request: dict, need_all: bool,
     (tombstoned hits subtracted in-kernel, VERDICT r4 #3)."""
     (tree, filter_tree, leaves, scored_ids, phrase_specs,
      term_boost_leaves) = _collect_leaves(index, request)
+
+    if any(l.field_boosts for l in leaves):
+        # per-leg boost-by-field (reference options.boost inside a search
+        # part, tests.rs:843-871): each leg's hits must be boosted BEFORE
+        # the tree combine, which the in-kernel combined evaluation cannot
+        # express — switch to the composed path (one kernel pass per leaf,
+        # boost per leg, then a distributed eval_tree combine)
+        if (phrase_specs or term_boost_leaves or filter_tree is not None
+                or request.get("text_locality")):
+            raise NotImplementedError(
+                "per-leg options.boost composes with plain scored trees "
+                "only (no filter/phrase/locality/term-boost extras)")
+        hits = _composed_search_hits(index, tree, leaves)
+        plan = {"tree": tree, "filter": None, "post_locality": False,
+                "scored_leaf_ids": set(scored_ids), "top": None,
+                "segment_docs": int(index.manifest["segment_docs"])}
+        return hits, plan, leaves
 
     top = request.get("top", 10)
     skip = request.get("skip", 0)
