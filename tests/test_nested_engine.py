@@ -243,4 +243,7 @@ class TestNestedReadPath:
         res = search(nested_index, {
             "search": {"terms": ["testo"], "path": "meanings.eng[]"},
             "why_found": True, "top": 5})
-        assert res["data"][0]["why_found"]["meanings.eng[]"] == ["testo"]
+        # reference shape (test_why_found.rs:252-264): the matched VALUE
+        # text, highlighted — not the bare term list
+        assert res["data"][0]["why_found"]["meanings.eng[]"] \
+            == ["will <b>testo</b>"]

@@ -32,24 +32,33 @@ def highlight_text(text: str, terms, separators: str = DEFAULT_SEPARATORS,
         return None
     term_set = {t.lower() for t in terms}
     runs = tokenize(text, separators)
-    hits = [i for i, (tok, is_sep) in enumerate(runs)
-            if not is_sep and tok.lower() in term_set]
+    # separator runs are ordinary tokens in the reference's stream — a
+    # query for "§" highlights it (test_why_found.rs:98-107)
+    hits = [i for i, (tok, _is_sep) in enumerate(runs)
+            if tok.lower() in term_set]
     if not hits:
         return None
-    # group hits within window*2 tokens of each other
-    groups: list[list[int]] = [[hits[0]]]
-    for h in hits[1:]:
-        if h - groups[-1][-1] <= window * 2:
-            groups[-1].append(h)
-        else:
-            groups.append([h])
+    # the reference token stream alternates token/separator, so
+    # num_words_around_snippet words ≈ window*2 runs
+    # (highlight_field.rs:285 "token seperator token seperator")
+    around = window * 2
+    # group hits: a new snippet group starts when the gap to the previous
+    # hit reaches `around` runs (highlight_field.rs:17-35)
+    groups: list[list[int]] = []
+    prev = -around
+    for h in hits:
+        if h - prev >= around:
+            groups.append([])
+        prev = h
+        groups[-1].append(h)
     if max_snippets is not None:
         groups = groups[:max_snippets]
     parts = []
     hit_set = set(hits)
     for g in groups:
-        start = max(0, g[0] - window)
-        end = min(len(runs), g[-1] + window + 1)
+        # window extent: first-around .. last+around+1 (:37-41)
+        start = max(0, g[0] - around)
+        end = min(len(runs), g[-1] + around + 1)
         buf = []
         for i in range(start, end):
             tok = runs[i][0]
@@ -57,13 +66,13 @@ def highlight_text(text: str, terms, separators: str = DEFAULT_SEPARATORS,
                 buf.append(HIGHLIGHT_PRE + tok + HIGHLIGHT_POST)
             else:
                 buf.append(tok)
-        snippet = "".join(buf)
-        if start > 0:
-            snippet = SNIPPET_CONNECTOR.lstrip() + snippet if not parts else snippet
-        parts.append(snippet)
+        parts.append("".join(buf))
     out = SNIPPET_CONNECTOR.join(parts)
-    if groups and groups[-1][-1] + window + 1 < len(runs):
-        out += SNIPPET_CONNECTOR.rstrip()
+    # ellipsis at the edges, connector verbatim (:68-83)
+    if hits[0] > around:
+        out = SNIPPET_CONNECTOR + out
+    if hits[-1] < len(runs) - around:
+        out = out + SNIPPET_CONNECTOR
     return out
 
 
@@ -73,7 +82,7 @@ def highlight_series(texts: pd.Series, terms, separators: str = DEFAULT_SEPARATO
     return texts.map(lambda t: highlight_text(t, terms, separators, **kw))
 
 
-def why_found(index, doc_ids: list[int], leaves) -> dict[int, dict[str, list[str]]]:
+def why_found_terms(index, doc_ids: list[int], leaves) -> dict[int, dict[str, list[str]]]:
     """For each doc in ``doc_ids``: which matched dictionary terms hit which
     field (/root/reference/src/search/why_found.rs:11-49). Only the segments
     containing the requested docs are scanned (parquet partition pruning)."""
@@ -119,4 +128,63 @@ def why_found(index, doc_ids: list[int], leaves) -> dict[int, dict[str, list[str
     for d in out:
         for f in out[d]:
             out[d][f] = sorted(set(out[d][f]))
+    return out
+
+
+def why_found(index, doc_ids: list[int], leaves) -> dict[int, dict[str, list[str]]]:
+    """Reference-shaped why-found: for each hit doc and each matched field,
+    the SOURCE TEXTS with matched terms wrapped in ``<b>…</b>``, in text
+    (pos) order (/root/reference/src/search/why_found.rs:51-84 resolves the
+    hit token/text ids back to highlighted field texts; e.g.
+    tests/all/test_why_found.rs:66-79 expects
+    ``{"url": ["https://github.com/PSeitz/<b>veloci</b>"]}``).
+
+    A matched term equal to the WHOLE text (an untokenized value, a
+    storable full-text hit, or a regex that matched the complete entry)
+    wraps the entire text; token matches highlight in place with the
+    field's own separators. Texts that contain no match are omitted; long
+    texts window to snippets exactly like :func:`highlight_text`."""
+    from pyspark.sql import functions as F
+
+    terms_by_doc = why_found_terms(index, doc_ids, leaves)
+    if not terms_by_doc:
+        return {}
+    fields = sorted({f for per in terms_by_doc.values() for f in per})
+    ids = [int(d) for d in doc_ids]
+
+    texts: dict[str, dict[int, list[str]]] = {}
+    flat = [f for f in fields if f not in index.values]
+    if flat:
+        rows = (index.docs.where(F.col("doc_id").isin(ids))
+                .select("doc_id", *flat).collect())
+        for r in rows:
+            for f in flat:
+                if r[f] is not None:
+                    texts.setdefault(f, {})[r["doc_id"]] = [str(r[f])]
+    for f in fields:
+        if f not in index.values:
+            continue
+        vrows = (index.values[f].where(F.col("doc_id").isin(ids))
+                 .orderBy("doc_id", "pos").collect())
+        for r in vrows:
+            if r["value"] is not None:
+                texts.setdefault(f, {}).setdefault(r["doc_id"], []) \
+                    .append(str(r["value"]))
+
+    out: dict[int, dict[str, list[str]]] = {}
+    for d, per_field in terms_by_doc.items():
+        for f, terms in per_field.items():
+            seps = index.fields.get(f, {}).get("separators",
+                                               DEFAULT_SEPARATORS)
+            lowered = {t.lower() for t in terms}
+            highlighted = []
+            for text in texts.get(f, {}).get(d, []):
+                if text.lower() in lowered:
+                    highlighted.append(HIGHLIGHT_PRE + text + HIGHLIGHT_POST)
+                    continue
+                h = highlight_text(text, terms, seps)
+                if h is not None:
+                    highlighted.append(h)
+            if highlighted:
+                out.setdefault(d, {})[f] = highlighted
     return out
