@@ -125,6 +125,7 @@ def jm_index(spark, tmp_path_factory):
                 FieldConfig("nofulltext", tokenize=False),
                 FieldConfig("title"),
                 FieldConfig("type"),
+                FieldConfig("mylongtext"),
                 FieldConfig("tags[]"),
                 FieldConfig("kanji[].text"),
                 FieldConfig("kana[].text"),
@@ -497,6 +498,123 @@ class TestPerLegBoost:
             assert [h["doc_id"] for h in got["data"]] == [d_ for d_, _ in want]
             for h, (_d, s) in zip(got["data"], want):
                 assert np.float32(h["score"]) == np.float32(s), req
+
+
+class TestBoostRanking:
+    def test_rank_boost_on_anchor_higher_search_on_anchor(self, jm_index):
+        # tests.rs:1102-1126 — Log2(commonness + 2) boost raises the score
+        from veloci_spark.search import search
+
+        req = {"search": {"terms": ["COllectif"], "path": "title"}}
+        unboosted = search(jm_index, req)
+        boosted = search(jm_index, {
+            "search_req": req,
+            "boost": [{"path": "commonness", "boost_fun": "Log2",
+                       "param": 2}]})
+        assert boosted["data"][0]["doc_id"] == unboosted["data"][0]["doc_id"]
+        assert boosted["data"][0]["score"] > unboosted["data"][0]["score"]
+
+    def test_rank_boost_on_anchor_higher_search_on_1_n(self, jm_index):
+        # tests.rs:1127-1151 — same through a 1:n search path
+        from veloci_spark.search import search
+
+        req = {"search": {"terms": ["boostemich"], "path": "meanings.ger[]"}}
+        unboosted = search(jm_index, req)
+        boosted = search(jm_index, {
+            "search_req": req,
+            "boost": [{"path": "commonness", "boost_fun": "Log2",
+                       "param": 2}]})
+        assert boosted["data"][0]["score"] > unboosted["data"][0]["score"]
+
+    def test_explain_plan_contents(self, jm_index):
+        # tests.rs:1153-1173 — the explain dump names the term, the field
+        # and the boost
+        from veloci_spark.search import search
+
+        res = search(jm_index, {
+            "search_req": {"search": {"terms": ["weich"],
+                                      "path": "meanings.ger[]",
+                                      "levenshtein_distance": 1}},
+            "boost": [{"path": "commonness", "boost_fun": "Log2",
+                       "param": 2}],
+            "explain": True})
+        dump = str(res["explain"]).lower()
+        assert "weich" in dump
+        assert "meanings.ger[]" in dump
+        assert "boost" in dump
+
+    def test_boost_terms_and_from_cache(self, jm_index):
+        # tests.rs:1175-1199 — term boost ranks the ent_seq-9555 doc first,
+        # and repeated identical queries stay stable
+        from veloci_spark.search import search, select_docs
+
+        req = {"search_req": {"search": {"terms": ["weich"],
+                                         "path": "meanings.ger[]",
+                                         "levenshtein_distance": 1}},
+               "boost_term": [{"terms": ["9555"], "path": "ent_seq",
+                               "boost": 5.0}]}
+        for _ in range(3):
+            res = search(jm_index, req)
+            top = res["data"][0]["doc_id"]
+            sel = select_docs(jm_index, [top], ["meanings.ger[]"])
+            assert sel[top]["meanings.ger[]"] == ["(1) 2 3 super nice weich"]
+
+    def test_why_found_terms_fuzzy_winner(self, jm_index):
+        # tests.rs:1201-1215 should_add_why_found_terms — fuzzy "weich"
+        # (hits welch too): winner is the "(1) weich" doc
+        from veloci_spark.search import search, select_docs
+
+        res = search(jm_index, {
+            "search_req": {"search": {"terms": ["weich"],
+                                      "path": "meanings.ger[]",
+                                      "levenshtein_distance": 1}},
+            "why_found": True, "explain": True})
+        top = res["data"][0]["doc_id"]
+        sel = select_docs(jm_index, [top], ["meanings.ger[]"])
+        assert sel[top]["meanings.ger[]"][0] == "(1) weich"
+
+    def test_or_connect_but_boost_one_term(self, jm_index):
+        # tests.rs:1217-1230 — scalar leaf boost ×2 on the full text
+        # "majestät (f)" flips the OR winner to its doc
+        from veloci_spark.search import search, select_docs
+
+        res = search(jm_index, {"search_req": {"or": [
+            {"search": {"terms": ["majestät (f)"], "path": "meanings.ger[]",
+                        "boost": 2}},
+            {"search": {"terms": ["urge"], "path": "meanings.eng[]"}}]}})
+        assert res["num_hits"] == 2
+        top = res["data"][0]["doc_id"]
+        sel = select_docs(jm_index, [top], ["meanings.ger[]"])
+        assert sel[top]["meanings.ger[]"][0] == "majestätischer Anblick (m)"
+
+
+class TestSelectAndSuggest:
+    def test_select_on_long_text(self, jm_index):
+        # tests.rs:991-1008 — select returns the full long text verbatim
+        from veloci_spark.search import search
+
+        res = search(jm_index, {
+            "search_req": {"search": {"terms": ["story"],
+                                      "path": "mylongtext"}},
+            "select": ["mylongtext"]})
+        assert res["num_hits"] == 1
+        assert res["data"][0]["doc"]["mylongtext"] == (
+            "Prolog:\nthis is a story of a guy who went out to rule the "
+            "world, but then died. the end")
+
+    def test_real_suggest_with_score(self, jm_index):
+        # tests.rs:1029-1056 — ordered lowercased suggestions for "majes"
+        from veloci_spark.search import suggest
+
+        got = [t for t, _s in suggest(jm_index, "meanings.ger[]", "majes")]
+        assert got == [
+            "majestät",
+            "majestät (f)",
+            "majestätisches",
+            "majestätischer",
+            "majestätischer anblick (m)",
+            "majestätisches aussehen (n)",
+        ]
 
 
 class TestSuggestTerms:

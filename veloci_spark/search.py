@@ -1880,6 +1880,9 @@ def search(index: FulltextIndex, request: dict) -> dict:
         out["explain"] = {
             "tree": _plan["tree"],
             "filter": _plan["filter"],
+            # request-level boost specs belong in the plan dump (the
+            # reference's dot plan includes its boost steps, tests.rs:1153)
+            "boost": request.get("boost") or [],
             "wand": (_plan.get("wand_leaf") is not None
                      or _plan.get("wand_tree") is not None),
             "leaves": [
