@@ -139,7 +139,11 @@ def jm_index(spark, tmp_path_factory):
         doc_id_col="doc_id",
         segment_docs=6,  # multi-segment on 16 docs
     )
-    build_index(spark, docs, cfg, d)
+    # the reference fixture loads a token_values boost side input
+    # (tests.rs:39-41: {"text": "Begeisterung", "value": 20} on
+    # meanings.ger[])
+    build_index(spark, docs, cfg, d,
+                token_values={"meanings.ger[]": [("Begeisterung", 20.0)]})
     return FulltextIndex(spark, d).cache()
 
 
@@ -615,6 +619,25 @@ class TestSelectAndSuggest:
             "majestätischer anblick (m)",
             "majestätisches aussehen (n)",
         ]
+
+    def test_multi_real_suggest_with_score(self, jm_index):
+        # tests.rs:1057-1074 — merged two-field suggest, exact order
+        from veloci_spark.search import suggest_multi
+
+        got = [t for t, _s in suggest_multi(
+            jm_index, ["meanings.ger[]", "meanings.eng[]"], "will")]
+        assert got == ["will", "wille", "wille (m)", "will testo"]
+
+    def test_suggest_with_token_value_boost(self, jm_index):
+        # tests.rs:1076-1099 — the token_values side input (Begeisterung →
+        # 20) lifts the exact text above its peers under Log10(v + 1)
+        from veloci_spark.search import suggest
+
+        got = [t for t, _s in suggest(
+            jm_index, "meanings.ger[]", "begeist",
+            token_value={"path": "meanings.ger[]", "boost_fun": "Log10",
+                         "param": 1})]
+        assert got == ["begeisterung", "begeistern", "begeisterung (f)"]
 
 
 class TestSuggestTerms:

@@ -803,12 +803,19 @@ def _pack_partition_factory(index_dir: str, block_docs: int, segment_docs: int,
 
 def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
                 index_dir: str, num_partitions: int | None = None,
-                input_fingerprint: str = "") -> dict:
+                input_fingerprint: str = "",
+                token_values: dict | None = None) -> dict:
     """Build the full index; returns the manifest dict. Resumable: completed
     stages (marker files) are skipped on re-run — but ONLY when their marker
     carries the current layout/config/input fingerprint. A fingerprint
     mismatch (new code version, changed config, changed input) invalidates
     every stale stage and it rebuilds.
+
+    ``token_values``: optional {field: [(text, value), ...]} side input —
+    the reference's token_values boost index (loaded alongside the corpus,
+    tests.rs:39-41; search_field.rs suggest ``token_value`` boost). Stored
+    as parquet (field, text, value); suggest-time boosting joins matched
+    candidates against it, so the mapping may be dictionary-sized.
     """
     os.makedirs(index_dir, exist_ok=True)
     t_start = time.time()
@@ -1158,6 +1165,17 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
                 [], "field string, tok_a string, tok_b string, segment int, docs_bin binary"
             ).write.mode("overwrite").parquet(phrase_path)
         _mark_stage(index_dir, "phrase", fp, wall_sec=time.time() - t0)
+
+    # ---- stage: token_values boost side input ----------------------------
+    if token_values and not _stage_done(index_dir, "token_values", fp):
+        t0 = time.time()
+        rows = [(fld, str(text), float(val))
+                for fld, pairs in token_values.items()
+                for text, val in pairs]
+        spark.createDataFrame(rows, "field string, text string, value double") \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(index_dir, "token_values"))
+        _mark_stage(index_dir, "token_values", fp, wall_sec=time.time() - t0)
 
     # ---- manifest --------------------------------------------------------
     n_segments = int(n_docs // segment_docs) + 1

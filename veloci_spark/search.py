@@ -35,6 +35,8 @@ parity with the reference formulas; the pure-Python model in
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -122,6 +124,11 @@ class FulltextIndex:
         self.tokentexts = (
             spark.read.parquet(f"{index_dir}/tokentexts")
             if self.values else None
+        )
+        # optional token_values boost side input (reference tests.rs:39-41)
+        tv_path = f"{index_dir}/token_values"
+        self.token_values = (
+            spark.read.parquet(tv_path) if os.path.isdir(tv_path) else None
         )
         self._local_dict_max_terms = local_dict_max_terms
         self._local_dict: dict[str, pd.DataFrame] | None = None
@@ -1976,10 +1983,33 @@ def get_doc(index: FulltextIndex, doc_id: int,
 
 
 def suggest(index: FulltextIndex, field: str, prefix: str, *, top: int = 10,
-            levenshtein: int = 0) -> list[tuple[str, float]]:
+            levenshtein: int = 0,
+            token_value: dict | None = None) -> list[tuple[str, float]]:
+    """Dictionary-only suggestions. ``token_value`` boosts candidates whose
+    EXACT text carries an entry in the index's token_values side input
+    (reference RequestSearchPart.token_value, search_field.rs suggest path;
+    golden tests.rs:1077-1099): {"path": field, "boost_fun": ..., "param"}.
+    """
     m = match_terms(index, field, prefix, levenshtein=levenshtein, starts_with=True)
     if m.empty:
         return []
+    if token_value is not None and index.token_values is not None:
+        from veloci_spark.scoring import boost_value_score
+
+        tv_field = token_value.get("path", field)
+        cand = [str(t) for t in m["term"]]
+        tv_rows = (index.token_values
+                   .where((F.col("field") == tv_field)
+                          & F.col("text").isin(cand))
+                   .collect())
+        tv = {r["text"]: r["value"] for r in tv_rows}
+        if tv:
+            vals = np.array([tv.get(t, np.nan) for t in m["term"]],
+                            dtype=np.float64)
+            boosted = boost_value_score(
+                m["score"].values, vals, token_value.get("boost_fun", "Log10"),
+                float(token_value.get("param", 0.0)))
+            m = m.assign(score=boosted)
     m = m.assign(lower=m["term"].str.lower())
     # dedup same lowercased text keep max score, sort by score desc
     best = m.sort_values(["score", "term_id"], ascending=[False, False], kind="mergesort") \
