@@ -636,6 +636,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             for d in boosted["data"])
         return spark.createDataFrame(rows or [], "doc_id long, ratio long")
 
+    def ft_leg_boost(spark, sf_dir):
+        # PER-LEG options.boost (reference RequestSearchPart options.boost,
+        # tests.rs:843-871) through the COMPOSED evaluation path (one
+        # kernel pass per leaf, boost per leg, eval_tree combine): a single
+        # boosted leg's ratio to the unboosted search equals the product of
+        # matched sibling ratings — the same closed form as
+        # ft_nested_boost, exercised via the per-leaf machinery.
+        from veloci_spark.search import search
+
+        idx = _get_nested_index(spark, sf_dir)
+        base = search(idx, {"search": {"terms": ["spark"],
+                                       "path": "members[].text"},
+                            "top": 1_000_000})
+        boosted = search(idx, {
+            "search": {"terms": ["spark"], "path": "members[].text",
+                       "options": {"boost": [
+                           {"path": "members[].rating",
+                            "boost_fun": "Multiply"}]}},
+            "top": 1_000_000})
+        b0 = {d["doc_id"]: d["score"] for d in base["data"]}
+        rows = sorted(
+            (int(d["doc_id"]), int(round(d["score"] / b0[d["doc_id"]])))
+            for d in boosted["data"])
+        return spark.createDataFrame(rows or [], "doc_id long, ratio long")
+
     def dd_exact_groups(spark, sf_dir):
         return dd.exact_duplicates(_documents(spark, sf_dir)).select(
             F.col("canonical_id").cast("long"), F.col("doc_id").cast("long"))
@@ -831,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_nested2_search_ids": ft_nested2_search_ids,
         "ft_nested2_tokentexts": ft_nested2_tokentexts,
         "ft_nested_boost": ft_nested_boost,
+        "ft_leg_boost": ft_leg_boost,
         "dd_exact_groups": dd_exact_groups,
         "dd_distinct_keep": dd_distinct_keep,
         "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -1093,6 +1119,23 @@ SELECT DISTINCT doc_id, pos_0, pos_1 FROM (
     # value-relative boost ratio = product of ratings (1 + member_id % 2)
     # over the DISTINCT matched member elements of each parent
     sql["ft_nested_boost"] = f"""
+WITH {runs},
+matched AS (
+  SELECT DISTINCT doc_id // {NESTED_GROUP} AS parent,
+                  doc_id % {NESTED_GROUP} AS pos
+  FROM (
+    SELECT doc_id FROM runs WHERE tok = 'spark'
+    UNION ALL
+    SELECT doc_id FROM documents
+    WHERE octet_length(encode(text)) <= 64 AND lower(text) = 'spark'
+  )
+)
+SELECT parent AS doc_id,
+       CAST(product(1 + (parent * {NESTED_GROUP} + pos) % 2) AS BIGINT) AS ratio
+FROM matched GROUP BY parent ORDER BY doc_id
+"""
+
+    sql["ft_leg_boost"] = f"""
 WITH {runs},
 matched AS (
   SELECT DISTINCT doc_id // {NESTED_GROUP} AS parent,
