@@ -135,7 +135,12 @@ def jm_index(spark, tmp_path_factory):
                 FieldConfig("field1[].text"),
                 FieldConfig("field1[].rank", **boost),
                 FieldConfig("kanji[].commonness", **boost),
-                FieldConfig("commonness", **boost)),
+                FieldConfig("commonness", **boost),
+                # scalar non-string fields index as their text form
+                # (reference json coercion; tests.rs test_float/test_bool)
+                FieldConfig("float_value", tokenize=False,
+                            phrase_pairs=False),
+                FieldConfig("my_bool", tokenize=False, phrase_pairs=False)),
         doc_id_col="doc_id",
         segment_docs=6,  # multi-segment on 16 docs
     )
@@ -230,6 +235,26 @@ class TestSimpleSearch:
         res = search(jm_index, {"search": {"terms": ["1587690"],
                                            "path": "ent_seq"}})
         assert res["num_hits"] == 1
+
+    def test_float(self, jm_index):
+        # tests.rs:397-409 — a float column is searchable by its text form
+        from veloci_spark.search import search
+
+        res = search(jm_index, {"search": {"terms": ["5.123"],
+                                           "path": "float_value"}})
+        assert res["num_hits"] == 1
+        doc = _hit_docs(jm_index, res, ["float_value"])[0]
+        assert doc["float_value"] == 5.123
+
+    def test_bool(self, jm_index):
+        # tests.rs:411-423
+        from veloci_spark.search import search
+
+        res = search(jm_index, {"search": {"terms": ["true"],
+                                           "path": "my_bool"}})
+        assert res["num_hits"] == 1
+        doc = _hit_docs(jm_index, res, ["my_bool"])[0]
+        assert doc["my_bool"] is True
 
     def test_invalid_field_errors(self, jm_index):
         # tests.rs:426-439 should_return_an_error_when_trying_to_query_an_

@@ -261,7 +261,7 @@ def token_rows(docs: DataFrame, field: str, separators: str) -> DataFrame:
                 "n_tokens": pd.Series(ntok_out, dtype="int32"),
             })
 
-    return docs.select("doc_id", field).mapInPandas(explode_tokens, schema=_TOKEN_SCHEMA)
+    return docs.select("doc_id", F.col(field).cast("string").alias(field)).mapInPandas(explode_tokens, schema=_TOKEN_SCHEMA)
 
 
 _ENTRY_SCHEMA = T.StructType([
@@ -381,7 +381,7 @@ def token_entry_rows(docs: DataFrame, field: str, separators: str) -> DataFrame:
                 "cnt": pd.Series(cnt_out, dtype="int32"),
             })
 
-    return docs.select("doc_id", field).mapInPandas(entries, schema=_ENTRY_SCHEMA)
+    return docs.select("doc_id", F.col(field).cast("string").alias(field)).mapInPandas(entries, schema=_ENTRY_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -537,7 +537,7 @@ def pair_rows(docs: DataFrame, field: str, separators: str) -> DataFrame:
                 "tok_b": pd.Series(b_out, dtype="object"),
             })
 
-    return docs.select("doc_id", field).mapInPandas(pairs, schema=_PAIR_SCHEMA)
+    return docs.select("doc_id", F.col(field).cast("string").alias(field)).mapInPandas(pairs, schema=_PAIR_SCHEMA)
 
 
 def value_pair_rows(values: DataFrame, separators: str) -> DataFrame:
