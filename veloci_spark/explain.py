@@ -158,6 +158,11 @@ def explain_hits(index, request, doc_ids: list[int]) -> dict[int, list[dict]]:
 
     (tree, _filter_tree, leaves, scored_ids, phrase_specs,
      term_boost_leaves) = _collect_leaves(index, request)
+    if any(l.field_boosts for l in leaves):
+        # per-leg options.boost applies BELOW the combine; this derivation
+        # would silently reproduce the unboosted combine — refuse instead
+        raise NotImplementedError(
+            "explain_hits does not derive per-leg options.boost scores")
     entries = _doc_leaf_entries(
         index, [l for l in leaves if l.leaf_id in scored_ids
                 or l.leaf_id in {lid for lid, _ in term_boost_leaves}],
