@@ -855,8 +855,14 @@ def _apply_anchor_boosts(index: FulltextIndex, hits: DataFrame,
         boosted = make_udf(spec.get("boost_fun", "Log10"),
                            float(spec.get("param", 0.0)), spec.get("expression"))
         boost_df = index.docs.select("doc_id", F.col(col).cast("double").alias("_bv"))
+        # INNER join, not left: every hit doc_id exists in the doc store
+        # (missing boost values are NULL in the row, not missing rows), and
+        # a left-outer join could only ever broadcast the corpus-sized doc
+        # store — inner lets AQE broadcast the small HIT side instead, so a
+        # selective query's boost is a map-side hash join over the doc
+        # store rather than a full docs shuffle.
         hits = (
-            hits.join(boost_df, on="doc_id", how="left")
+            hits.join(boost_df, on="doc_id", how="inner")
             .withColumn("score", boosted(F.col("score"), F.col("_bv")))
             .drop("_bv")
         )
