@@ -168,6 +168,8 @@ class TestSimpleSearch:
         res = search(jm_index, {"search": {"terms": ["urge"],
                                            "path": "meanings.eng[]"}})
         assert res["num_hits"] == 1
+        # tests.rs:283-293 return_execution_time
+        assert res["execution_time_ms"] > 0
         doc = _hit_docs(jm_index, res, ["ent_seq", "commonness"])[0]
         assert doc["ent_seq"] == "1587690"
         assert doc["commonness"] == 20

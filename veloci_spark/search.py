@@ -36,6 +36,7 @@ parity with the reference formulas; the pure-Python model in
 from __future__ import annotations
 
 import os
+import time
 
 import numpy as np
 import pandas as pd
@@ -1762,6 +1763,7 @@ def search(index: FulltextIndex, request: dict) -> dict:
     ``exact_count`` is still accepted (it forces the untruncated evaluation)
     but no longer changes the reported numbers.
     """
+    t_start = time.monotonic()
     need_all = (bool(request.get("facets")) or bool(request.get("exact_count"))
                 or bool(request.get("why_found")) or bool(request.get("boost")))
     hits, _plan, leaves = _search_hits(index, request, need_all=need_all,
@@ -1869,6 +1871,8 @@ def search(index: FulltextIndex, request: dict) -> dict:
     out = {
         "num_hits": num_hits,
         "num_hits_exact": True,
+        # reference SearchResult.execution_time_ns (tests.rs:283-293)
+        "execution_time_ms": (time.monotonic() - t_start) * 1000.0,
         "data": [{"doc_id": r["doc_id"], "score": float(np.float32(r["score"]))}
                  for r in ranked],
     }

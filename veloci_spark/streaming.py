@@ -292,6 +292,7 @@ class MultiIndex:
         from veloci_spark.search import (_apply_anchor_boosts,
                                          _apply_post_locality, _search_hits)
 
+        t_start = time.monotonic()
         top = request.get("top", 10)
         skip = request.get("skip", 0)
         need_all = (bool(request.get("facets"))
@@ -331,7 +332,10 @@ class MultiIndex:
             gen_ctx.append((_g, idx, leaves))
             merged = hits if merged is None else merged.unionByName(hits)
         if merged is None:
-            return {"num_hits": 0, "num_hits_exact": True, "data": []}
+            return {"num_hits": 0, "num_hits_exact": True,
+                    "execution_time_ms":
+                        (time.monotonic() - t_start) * 1000.0,
+                    "data": []}
 
         has_deletes = self.deletes is not None and self.n_deletes > 0
         # cache the PARENT of both views: every job below (counts, ranking,
@@ -340,12 +344,12 @@ class MultiIndex:
         merged = merged.cache()
         try:
             return self._finish_search(request, merged, gen_ctx, top, skip,
-                                       emitted_all, has_deletes)
+                                       emitted_all, has_deletes, t_start)
         finally:
             merged.unpersist()
 
     def _finish_search(self, request, merged, gen_ctx, top, skip,
-                       emitted_all, has_deletes):
+                       emitted_all, has_deletes, t_start):
         import numpy as np
 
         from veloci_spark.search import _search_hits, select_docs
@@ -388,6 +392,7 @@ class MultiIndex:
         out = {
             "num_hits": num_hits,
             "num_hits_exact": exact,
+            "execution_time_ms": (time.monotonic() - t_start) * 1000.0,
             "data": [{"doc_id": r["doc_id"],
                       "score": float(np.float32(r["score"]))} for r in ranked],
         }
