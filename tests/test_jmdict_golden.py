@@ -633,6 +633,22 @@ class TestSelectAndSuggest:
             "Prolog:\nthis is a story of a guy who went out to rule the "
             "world, but then died. the end")
 
+    def test_custom_snippet_info(self, jm_index):
+        # snippet_info.rs:15-39 — custom tags/window/connector carried
+        # through the request (the commented highlight golden at
+        # tests.rs:929-949 uses num_words_around_snippet: 4)
+        from veloci_spark.search import search
+
+        res = search(jm_index, {
+            "search": {"terms": ["story"], "path": "mylongtext"},
+            "snippets": {"field": "mylongtext", "snippet_info": {
+                "num_words_around_snippet": 4,
+                "snippet_start_tag": "[", "snippet_end_tag": "]",
+                "snippet_connector": " .. "}},
+            "top": 3})
+        assert res["data"][0]["snippet"] \
+            == "Prolog:\nthis is a [story] of a guy who .. "
+
     def test_real_suggest_with_score(self, jm_index):
         # tests.rs:1029-1056 — ordered lowercased suggestions for "majes"
         from veloci_spark.search import suggest

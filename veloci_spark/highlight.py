@@ -25,9 +25,13 @@ HIGHLIGHT_POST = "</b>"
 
 def highlight_text(text: str, terms, separators: str = DEFAULT_SEPARATORS,
                    window: int = SNIPPET_WINDOW,
-                   max_snippets: int | None = None) -> str | None:
+                   max_snippets: int | None = None,
+                   pre: str = HIGHLIGHT_PRE, post: str = HIGHLIGHT_POST,
+                   connector: str = SNIPPET_CONNECTOR) -> str | None:
     """Highlight occurrences of ``terms`` (case-insensitive token match) in
-    ``text``; returns the snippet string or None when nothing matches."""
+    ``text``; returns the snippet string or None when nothing matches.
+    ``window``/``pre``/``post``/``connector``/``max_snippets`` mirror the
+    reference's SnippetInfo (snippet_info.rs:15-39)."""
     if not text:
         return None
     term_set = {t.lower() for t in terms}
@@ -63,16 +67,16 @@ def highlight_text(text: str, terms, separators: str = DEFAULT_SEPARATORS,
         for i in range(start, end):
             tok = runs[i][0]
             if i in hit_set:
-                buf.append(HIGHLIGHT_PRE + tok + HIGHLIGHT_POST)
+                buf.append(pre + tok + post)
             else:
                 buf.append(tok)
         parts.append("".join(buf))
-    out = SNIPPET_CONNECTOR.join(parts)
+    out = connector.join(parts)
     # ellipsis at the edges, connector verbatim (:68-83)
     if hits[0] > around:
-        out = SNIPPET_CONNECTOR + out
+        out = connector + out
     if hits[-1] < len(runs) - around:
-        out = out + SNIPPET_CONNECTOR
+        out = out + connector
     return out
 
 

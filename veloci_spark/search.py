@@ -1920,10 +1920,21 @@ def search(index: FulltextIndex, request: dict) -> dict:
         for d in out["data"]:
             d["explain"] = eh.get(d["doc_id"], [])
     if request.get("snippets"):
-        from veloci_spark.highlight import highlight_text
+        from veloci_spark.highlight import (HIGHLIGHT_POST, HIGHLIGHT_PRE,
+                                            SNIPPET_CONNECTOR, SNIPPET_WINDOW,
+                                            highlight_text)
 
         spec = request["snippets"]
         fld = spec.get("field", "text")
+        # custom SnippetInfo (reference snippet_info.rs:15-39): the spec may
+        # override window / tags / connector / snippet count
+        si = spec.get("snippet_info") or {}
+        kw = dict(
+            window=int(si.get("num_words_around_snippet", SNIPPET_WINDOW)),
+            max_snippets=si.get("max_snippets"),
+            pre=si.get("snippet_start_tag", HIGHLIGHT_PRE),
+            post=si.get("snippet_end_tag", HIGHLIGHT_POST),
+            connector=si.get("snippet_connector", SNIPPET_CONNECTOR))
         terms = [t for leaf in leaves
                  if leaf.field == fld and leaf.matched is not None
                  for t in leaf.matched["term"].tolist()]
@@ -1932,7 +1943,8 @@ def search(index: FulltextIndex, request: dict) -> dict:
         rows = index.docs.where(F.col("doc_id").isin(ids)).select("doc_id", fld).collect()
         texts = {r["doc_id"]: r[fld] for r in rows}
         for d in out["data"]:
-            d["snippet"] = highlight_text(texts.get(d["doc_id"]) or "", terms, sep)
+            d["snippet"] = highlight_text(texts.get(d["doc_id"]) or "",
+                                          terms, sep, **kw)
     return out
 
 
