@@ -294,15 +294,16 @@ def main_scaling():
     # ceiling does not bind (BENCH/BASELINE.md §2, r5).
     kernel_probe = None
     if os.environ.get("SCALE_KERNEL_PROBE", "1") == "1":
-        kp = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "tools", "kernel_scaling_probe.py"),
-             str(base_n)],
-            capture_output=True, text=True, timeout=1800)
-        try:
+        try:  # the WHOLE probe is advisory, never fatal — including
+            # subprocess timeouts/OS errors, not just a bad JSON line
+            kp = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "kernel_scaling_probe.py"),
+                 str(base_n)],
+                capture_output=True, text=True, timeout=1800)
             kernel_probe = json.loads(kp.stdout.strip().splitlines()[-1])
-        except Exception:  # noqa: BLE001 — probe is advisory, never fatal
+        except Exception:  # noqa: BLE001
             kernel_probe = None
     corpus = materialize_synth_corpus(n_docs)
     results = {}

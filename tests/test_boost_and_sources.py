@@ -156,3 +156,39 @@ class TestDocFetch:
         one = get_doc(spark_index, 3)
         assert one["text"] == corpus[3]["text"]
         assert get_doc(spark_index, 10**9) is None
+
+
+class TestTokenValuesResume:
+    def test_content_change_and_removal_invalidate(self, spark, tmp_path):
+        """The token_values side input invalidates on CONTENT change (the
+        build-config fingerprint cannot see it) and is removed when a
+        rebuild passes none — stale boosts must never survive a resume."""
+        from veloci_spark.build import build_index
+        from veloci_spark.config import FieldConfig, IndexConfig
+        from veloci_spark.search import FulltextIndex, suggest
+
+        rows = [{"doc_id": 0, "text": "alpha beta"},
+                {"doc_id": 1, "text": "alphorn beta"}]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        cfg = IndexConfig(fields=(FieldConfig("text"),), doc_id_col="doc_id",
+                          segment_docs=2)
+        d = str(tmp_path / "idx")
+        spec = {"path": "text", "boost_fun": "Multiply"}
+
+        build_index(spark, df, cfg, d,
+                    token_values={"text": [("alphorn", 100.0)]})
+        s1 = dict(suggest(FulltextIndex(spark, d), "text", "alph",
+                          token_value=spec))
+        # same config + input, NEW values: the side table must rebuild
+        build_index(spark, df, cfg, d,
+                    token_values={"text": [("alphorn", 10_000.0)]})
+        s2 = dict(suggest(FulltextIndex(spark, d), "text", "alph",
+                          token_value=spec))
+        assert s2["alphorn"] > s1["alphorn"]
+        # rebuild WITHOUT token_values: the stale side table is removed
+        build_index(spark, df, cfg, d)
+        idx = FulltextIndex(spark, d)
+        assert idx.token_values is None
+        s3 = dict(suggest(idx, "text", "alph", token_value=spec))
+        assert s3["alphorn"] == pytest.approx(
+            dict(suggest(idx, "text", "alph"))["alphorn"])

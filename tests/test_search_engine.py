@@ -297,7 +297,10 @@ class TestIdentityJvmSelection:
         df = _identity_leaf_rows(spark_index, leaf)
         df.explain()  # simple mode: each physical node printed exactly once
         plan = capsys.readouterr().out
-        assert plan.count("ArrowEvalPython") == 1  # the scoring UDF only
+        # exactly ONE Python evaluation: the fused score+NaN-filter pass
+        # (selection itself is pure codegen)
+        assert plan.count("MapInPandas") == 1
+        assert plan.count("ArrowEvalPython") == 0
         marker = {"exact": "= https://example.org/golden/scores/01",
                   "prefix": "StartsWith",
                   "regex": "RLIKE",
@@ -306,7 +309,7 @@ class TestIdentityJvmSelection:
         sel_line = next(l for l in plan.splitlines() if marker in l)
         assert "pythonUDF" not in sel_line
         # the selection filter must run BEFORE (print below) the Python eval
-        assert plan.index(marker) > plan.index("ArrowEvalPython")
+        assert plan.index(marker) > plan.index("MapInPandas")
 
 
 class TestPartitionPreMerge:

@@ -36,14 +36,12 @@ def _one_unit(seed: int) -> int:
 
     rng = np.random.RandomState(seed)
     n = 100_000
-    ids = np.sort(rng.randint(0, 1 << 20, size=n))
     scores = rng.randint(1, 50_000, size=n).astype(np.uint64)
     group_of = np.sort(rng.randint(0, 30_000, size=n))
     change = np.concatenate(([True], group_of[1:] != group_of[:-1]))
     starts = np.flatnonzero(change)
     ends = np.append(starts[1:], n)
-    ids = np.sort(rng.randint(0, 1 << 20, size=n))  # per-group sorted enough
-    ids.sort()
+    ids = np.sort(rng.randint(0, 1 << 20, size=n))
     sums = np.add.reduceat(scores, starts)
     blobs = pack_ids_grouped(ids, starts, ends)
     blobs2 = vbyte_encode_grouped(scores, starts, ends)

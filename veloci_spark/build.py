@@ -1167,15 +1167,33 @@ def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
         _mark_stage(index_dir, "phrase", fp, wall_sec=time.time() - t0)
 
     # ---- stage: token_values boost side input ----------------------------
-    if token_values and not _stage_done(index_dir, "token_values", fp):
-        t0 = time.time()
-        rows = [(fld, str(text), float(val))
-                for fld, pairs in token_values.items()
-                for text, val in pairs]
-        spark.createDataFrame(rows, "field string, text string, value double") \
-            .write.mode("overwrite") \
-            .parquet(os.path.join(index_dir, "token_values"))
-        _mark_stage(index_dir, "token_values", fp, wall_sec=time.time() - t0)
+    # the side input's CONTENT is part of the stage fingerprint (the build
+    # config fingerprint cannot see it): changed values rebuild the table,
+    # and a build without token_values removes a stale one — otherwise the
+    # loader would silently keep serving old boosts.
+    tv_path = os.path.join(index_dir, "token_values")
+    if token_values:
+        import hashlib
+
+        rows = sorted((fld, str(text), float(val))
+                      for fld, pairs in token_values.items()
+                      for text, val in pairs)
+        tv_fp = fp + ":" + hashlib.sha256(
+            json.dumps(rows).encode()).hexdigest()[:16]
+        if not _stage_done(index_dir, "token_values", tv_fp):
+            t0 = time.time()
+            spark.createDataFrame(
+                rows, "field string, text string, value double") \
+                .write.mode("overwrite").parquet(tv_path)
+            _mark_stage(index_dir, "token_values", tv_fp,
+                        wall_sec=time.time() - t0)
+    elif os.path.isdir(tv_path):
+        import shutil
+
+        shutil.rmtree(tv_path, ignore_errors=True)
+        marker = os.path.join(index_dir, "_stage_token_values.done")
+        if os.path.exists(marker):
+            os.remove(marker)
 
     # ---- manifest --------------------------------------------------------
     n_segments = int(n_docs // segment_docs) + 1

@@ -363,9 +363,16 @@ def _match_identity(index: FulltextIndex, field: str, term: str, lower: str,
     )
     if rows.empty:
         return pd.DataFrame(columns=["term", "term_id", "distance", "prefix", "score"])
-    _sel, dist, prefix = _identity_selection(rows["value"].values, lower, term,
-                                             n_chars, d_auto, check_prefix,
-                                             starts_with, is_regex)
+    sel_py, dist, prefix = _identity_selection(rows["value"].values, lower,
+                                               term, n_chars, d_auto,
+                                               check_prefix, starts_with,
+                                               is_regex)
+    if not sel_py.all():
+        # JVM/Python semantics can diverge on exotic patterns (e.g. Java
+        # character-class intersection) — the Python selection stays the
+        # source of truth for what counts as a match
+        rows = rows[sel_py].reset_index(drop=True)
+        dist, prefix = dist[sel_py], prefix[sel_py]
     score = term_score(dist, prefix)
     out = pd.DataFrame({"term": rows["value"].values,
                         "term_id": rows["doc_id"].values,
@@ -1568,11 +1575,18 @@ def _identity_leaf_rows(index: FulltextIndex, leaf) -> DataFrame:
     term = leaf.term
     segment_docs = index.manifest["segment_docs"]
 
-    @F.pandas_udf("float")
-    def ident_score(v: pd.Series) -> pd.Series:
-        return pd.Series(_identity_scores(v.values, lower, term, n_chars,
-                                          d_auto, check_prefix, starts_with,
-                                          is_regex))
+    def score_filter(iterator):
+        # ONE Arrow pass scores the JVM-selected rows AND drops the rare
+        # rows where Java and Python match semantics diverge (exotic regex
+        # constructs score NaN = "not selected") — a withColumn + isnan
+        # filter would make Catalyst evaluate the Python UDF twice
+        for pdf in iterator:
+            s = _identity_scores(pdf["value"].values, lower, term, n_chars,
+                                 d_auto, check_prefix, starts_with, is_regex)
+            keep = ~np.isnan(s)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].values[keep],
+                "s": s[keep].astype(np.float32)})
 
     base_rows = (
         index.docs.select("doc_id", F.col(leaf.field).alias("value"))
@@ -1581,9 +1595,8 @@ def _identity_leaf_rows(index: FulltextIndex, leaf) -> DataFrame:
     )
     sel = _jvm_match_pred(F.col("value"), term, lower, n_chars, d_auto,
                           starts_with, is_regex)
-    # the predicate is exact on every shape (no NaN filter needed — it
-    # would make Catalyst evaluate the Python scoring UDF twice)
-    scored = base_rows.where(sel).withColumn("s", ident_score(F.col("value")))
+    scored = base_rows.where(sel).mapInPandas(score_filter,
+                                              schema="doc_id long, s float")
     leaf_top = leaf.opts.get("top")
     if leaf_top is not None:
         keep = int(leaf_top) + int(leaf.opts.get("skip", 0))
@@ -2020,10 +2033,17 @@ def suggest(index: FulltextIndex, field: str, prefix: str, *, top: int = 10,
 
         tv_field = token_value.get("path", field)
         cand = [str(t) for t in m["term"]]
-        tv_rows = (index.token_values
-                   .where((F.col("field") == tv_field)
-                          & F.col("text").isin(cand))
-                   .collect())
+        tv_df = index.token_values.where(F.col("field") == tv_field)
+        if len(cand) <= TID_PUSHDOWN_MAX_IN:
+            tv_df = tv_df.where(F.col("text").isin(cand))
+        else:
+            # a wide fuzzy prefix can match the 100k-term cap — an In
+            # expression that size blows up Catalyst analysis/codegen;
+            # broadcast semi-join like _filter_term_ids
+            cdf = index.spark.createDataFrame([(c,) for c in set(cand)],
+                                              "text string")
+            tv_df = tv_df.join(F.broadcast(cdf), on="text", how="left_semi")
+        tv_rows = tv_df.collect()
         tv = {r["text"]: r["value"] for r in tv_rows}
         if tv:
             vals = np.array([tv.get(t, np.nan) for t in m["term"]],
