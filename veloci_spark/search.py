@@ -458,13 +458,22 @@ class _Leaf:
         self.matched = None  # pandas df from match_terms
 
 
+def _tree_children(sub):
+    """Both serde forms of a SearchTree: the canonical object
+    ``{"queries": [...], "options": ...}`` (search_request.rs:20-26) and the
+    bare-list shorthand used throughout the reference's test corpus."""
+    return sub["queries"] if isinstance(sub, dict) else sub
+
+
 def _parse_tree(node: dict, leaves: list, dedup: dict):
     """Request subtree → plan node; identical leaf searches are deduped and
     executed once (reference plan dedup, execution_plan.rs:84-123)."""
     if "or" in node:
-        return {"op": "or", "children": [_parse_tree(c, leaves, dedup) for c in node["or"]]}
+        return {"op": "or", "children": [_parse_tree(c, leaves, dedup)
+                                         for c in _tree_children(node["or"])]}
     if "and" in node:
-        return {"op": "and", "children": [_parse_tree(c, leaves, dedup) for c in node["and"]]}
+        return {"op": "and", "children": [_parse_tree(c, leaves, dedup)
+                                          for c in _tree_children(node["and"])]}
     leaf_req = node.get("search", node)
     field = leaf_req["path"]
     terms = leaf_req.get("terms") or [leaf_req["term"]]
