@@ -35,6 +35,12 @@ SHAPES = [
     dict(term="(?-i:.*tagebuch.*)", is_regex=True),        # case-scoped regex
     dict(term="urg.*", is_regex=True, starts_with=True),   # regex match()
     dict(term="tage", starts_with=True, top=2),            # matched-term top
+    # ignore_case=False: raw-vs-raw comparisons on every JVM shape
+    dict(term="Majestät", ignore_case=False),              # exact sensitive
+    dict(term="Majestat", levenshtein=1, ignore_case=False),  # fuzzy sens.
+    dict(term="Majes", starts_with=True, ignore_case=False),  # prefix sens.
+    dict(term="Majee", starts_with=True, levenshtein=1,
+         ignore_case=False),                               # prefix-fuzzy sens.
 ]
 
 
@@ -72,9 +78,15 @@ class TestDistributedDict:
             # LAST interpreted per-key dictionary predicate is gone
             ("majee", "majee", 1, True, False),
         ]
-        for term, lower, d_auto, sw, rx in hot:
+        # ignore_case=False twins: raw column, still zero Python eval
+        hot += [(t, t, da, sw, rx, False) for t, _, da, sw, rx in
+                [("Majestät", None, 0, False, False),
+                 ("Majestat", None, 1, False, False),
+                 ("Majes", None, 0, True, False)]]
+        for term, lower, d_auto, sw, rx, *ic in hot:
             cand = _dict_candidates(d, term, lower, max(len(lower), 1),
-                                    d_auto, sw, rx)
+                                    d_auto, sw, rx,
+                                    ic[0] if ic else True)
             plan = cand._jdf.queryExecution().executedPlan().toString()
             assert "EvalPython" not in plan and "pythonUDF" not in plan, \
                 (term, plan)

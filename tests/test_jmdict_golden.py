@@ -174,6 +174,86 @@ class TestSimpleSearch:
         assert doc["ent_seq"] == "1587690"
         assert doc["commonness"] == 20
 
+    def test_simple_search_skip_far(self, jm_index):
+        # tests.rs:311-325 simple_search_skip_far — skip past every hit
+        from veloci_spark.search import search
+
+        res = search(jm_index, {"search": {"terms": ["urge"],
+                                           "path": "meanings.eng[]"},
+                                "skip": 1000})
+        assert res["data"] == []
+        assert res["num_hits"] == 1  # count is unaffected by paging
+
+    def test_simple_search_case_sensitive(self, jm_index):
+        # tests.rs:327-351 simple_search_case_sensitive — "Urge" matches
+        # "urge" only while ignore_case holds (default true)
+        from veloci_spark.search import search
+
+        res = search(jm_index, {"search": {"ignore_case": True,
+                                           "terms": ["Urge"],
+                                           "path": "meanings.eng[]"}})
+        assert len(res["data"]) == 1
+        res = search(jm_index, {"search": {"ignore_case": False,
+                                           "terms": ["Urge"],
+                                           "path": "meanings.eng[]"}})
+        assert len(res["data"]) == 0
+        # sensitive + exact-case still hits, with the exact-match score
+        res = search(jm_index, {"search": {"ignore_case": False,
+                                           "terms": ["urge"],
+                                           "path": "meanings.eng[]"}})
+        assert len(res["data"]) == 1
+        assert _hit_docs(jm_index, res, ["ent_seq"])[0]["ent_seq"] == "1587690"
+
+    def test_case_sensitive_matches_pyref(self, spark, tmp_path_factory):
+        # differential: the engine's ignore_case=false path must score
+        # bit-identically to the independent model on every match shape
+        from veloci_spark import pyref
+        from veloci_spark.build import build_index
+        from veloci_spark.config import FieldConfig, IndexConfig
+        from veloci_spark.search import FulltextIndex, search
+
+        rows = [
+            {"doc_id": 0, "text": "Wollen und Wille"},
+            {"doc_id": 1, "text": "wollen wir wirklich"},
+            {"doc_id": 2, "text": "WOLLEN Begeisterung"},
+            {"doc_id": 3, "text": "begeisterung pur Majestät"},
+            {"doc_id": 4, "text": "majestätisch Willen"},
+        ]
+        cfg = IndexConfig(fields=(FieldConfig("text"),), doc_id_col="doc_id",
+                          segment_docs=2)
+        d = str(tmp_path_factory.mktemp("caseidx"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        build_index(spark, docs, cfg, d)
+        idx = FulltextIndex(spark, d)
+        ref = pyref.RefIndex(rows, cfg)
+        for req in (
+            {"search": {"ignore_case": False, "terms": ["Wollen"],
+                        "path": "text"}},
+            {"search": {"ignore_case": False, "terms": ["wollen"],
+                        "path": "text"}},
+            {"search": {"ignore_case": False, "terms": ["Begeisterung"],
+                        "path": "text", "levenshtein_distance": 1}},
+            {"search": {"ignore_case": False, "terms": ["Wolle"],
+                        "path": "text", "starts_with": True}},
+            {"search": {"ignore_case": False, "terms": ["wolle"],
+                        "path": "text", "starts_with": True,
+                        "levenshtein_distance": 1}},
+            # case-distinct sensitive legs must stay distinct OR tags
+            {"or": [{"search": {"ignore_case": False, "terms": ["Wille"],
+                                "path": "text"}},
+                    {"search": {"terms": ["wille"], "path": "text"}}]},
+        ):
+            got = search(idx, {**req, "top": 20})
+            want = pyref.search_request(ref, {**req, "top": 20})
+            assert [(h["doc_id"], h["score"]) for h in got["data"]] == \
+                [(d_, float(s)) for d_, s in want], req
+        # sanity on the fixture: sensitivity actually changes the hit set
+        sens = search(idx, {"search": {"ignore_case": False,
+                                       "terms": ["wollen"], "path": "text"}})
+        folded = search(idx, {"search": {"terms": ["wollen"],
+                                         "path": "text"}})
+        assert sens["num_hits"] == 1 and folded["num_hits"] == 3
+
     def test_select_fields(self, jm_index):
         # tests.rs:441-456 select_fields
         from veloci_spark.search import search, select_docs

@@ -81,7 +81,8 @@ def _doc_leaf_entries(index, leaves, doc_ids):
             index.docs.where(F.col("doc_id").isin([int(d) for d in doc_ids]))
             .select("doc_id", F.col(leaf.field).alias("v")).toPandas()
         )
-        lower = leaf.term.lower()
+        ignore_case = leaf.opts.get("ignore_case", True)
+        lower = leaf.term.lower() if ignore_case else leaf.term
         n_chars = max(len(lower), 1)
         d_auto = min(leaf.opts.get("levenshtein", 0), n_chars - 1, 4)
         check_prefix = (leaf.opts.get("starts_with", False)
@@ -89,7 +90,8 @@ def _doc_leaf_entries(index, leaves, doc_ids):
         fin = _identity_scores(vals["v"].values, lower, leaf.term, n_chars,
                                d_auto, check_prefix,
                                leaf.opts.get("starts_with", False),
-                               leaf.opts.get("is_regex", False))
+                               leaf.opts.get("is_regex", False),
+                               ignore_case)
         for d, v, s in zip(vals["doc_id"].values, vals["v"].values, fin):
             if not np.isnan(s):
                 ts = float(s / (np.float16(IDENTITY_STORED).astype(_F32) / _F32(100.0)))

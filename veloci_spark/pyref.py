@@ -116,7 +116,8 @@ class RefIndex:
 
     def match_terms(self, fld: str, term: str, *, levenshtein: int = 0,
                     starts_with: bool = False, is_regex: bool = False,
-                    top: int | None = None, skip: int = 0):
+                    top: int | None = None, skip: int = 0,
+                    ignore_case: bool = True):
         """Dictionary match → [(term, term_id, score_f32)].
 
         Reference get_term_ids_in_field (search_field.rs:277-398): the query
@@ -131,7 +132,8 @@ class RefIndex:
         top+skip by (score desc, term_id desc) (:292-331, :373-376).
         """
         f = self.fields[fld]
-        lower = term.lower()
+        lower = term.lower() if ignore_case else term
+        fold = (lambda s: s.lower()) if ignore_case else (lambda s: s)
         hits = []
         if is_regex:
             # dense DFA over the dictionary, case-insensitive by default
@@ -150,7 +152,7 @@ class RefIndex:
             d_auto = min(d_score_cap, 4)
             check_prefix = starts_with or levenshtein != 0
             for t in f.terms:
-                tl = t.lower()
+                tl = fold(t)
                 prefix = check_prefix and tl.startswith(lower)
                 if starts_with:
                     selected = prefix if d_auto == 0 else (
@@ -263,22 +265,48 @@ def _leaf_opts(leaf_req: dict) -> dict:
         "is_regex": leaf_req.get("is_regex", False),
         "top": leaf_req.get("top"),
         "skip": leaf_req.get("skip", 0),
+        "ignore_case": leaf_req.get("ignore_case", True),
     }
+
+
+def _tree_children(sub):
+    """Both serde forms of a SearchTree (search_request.rs:20-26): the
+    canonical ``{"queries": [...]}`` object and the bare-list shorthand."""
+    return sub["queries"] if isinstance(sub, dict) else sub
+
+
+def _leaf_terms_opts(leaf_req: dict):
+    """(terms, opts) with the same normalization as the engine's parser:
+    case-sensitive REGEX leaves scope sensitivity into the pattern
+    (``(?-i:...)``); plain-term sensitivity rides opts["ignore_case"]."""
+    terms = leaf_req.get("terms") or [leaf_req["term"]]
+    opts = _leaf_opts(leaf_req)
+    if opts["is_regex"] and opts["ignore_case"] is False:
+        terms = [f"(?-i:{t})" for t in terms]
+        opts["ignore_case"] = True
+    return terms, opts
+
+
+def _leaf_tag(t: str, opts: dict) -> str:
+    # tag identity: lowercased term; regex patterns and case-sensitive
+    # plain leaves keep the RAW term (lowering mutates pattern semantics;
+    # folding would merge case-distinct sensitive queries)
+    return (t if opts["is_regex"] or opts.get("ignore_case", True) is False
+            else t.lower())
 
 
 def _eval_scored(index: "RefIndex", node: dict) -> tuple[str, dict]:
     """Returns (tag, {doc_id: f32 score}) for a request subtree."""
     if "or" in node or "and" in node:
         op = "or" if "or" in node else "and"
-        legs = [_eval_scored(index, c) for c in node[op]]
+        legs = [_eval_scored(index, c) for c in _tree_children(node[op])]
         tag = op + "(" + ",".join(t for t, _ in legs) + ")"
         if op == "or":
             return tag, union_score([(t, h) for t, h in legs])
         return tag, intersect_score([h for _, h in legs])
     leaf_req = node.get("search", node)
     field = leaf_req["path"]
-    terms = leaf_req.get("terms") or [leaf_req["term"]]
-    opts = _leaf_opts(leaf_req)
+    terms, opts = _leaf_terms_opts(leaf_req)
     boost = leaf_req.get("boost")
     # per-leg boost-by-field (reference options.boost, tests.rs:843-871):
     # specs applied to this leg's hits BEFORE the tree combine
@@ -294,10 +322,7 @@ def _eval_scored(index: "RefIndex", node: dict) -> tuple[str, dict]:
             hits = {d: np.float32(s * np.float32(boost)) for d, s in hits.items()}
         for spec in field_boosts or []:
             _apply_field_boost(index, hits, spec)
-        # tag identity: lowercased term; regex patterns keep the RAW pattern
-        # (lowering mutates pattern semantics — `\W` → `\w`; case-sensitive
-        # `(?-i:...)` variants must stay distinct)
-        legs.append((t if opts["is_regex"] else t.lower(), hits))
+        legs.append((_leaf_tag(t, opts), hits))
     if len(legs) == 1:
         return legs[0]
     tag = "or(" + ",".join(t for t, _ in legs) + ")"
@@ -307,15 +332,14 @@ def _eval_scored(index: "RefIndex", node: dict) -> tuple[str, dict]:
 def _eval_ids(index: "RefIndex", node: dict) -> set:
     if "or" in node or "and" in node:
         op = "or" if "or" in node else "and"
-        parts = [_eval_ids(index, c) for c in node[op]]
+        parts = [_eval_ids(index, c) for c in _tree_children(node[op])]
         out = parts[0]
         for p in parts[1:]:
             out = (out | p) if op == "or" else (out & p)
         return out
     leaf_req = node.get("search", node)
     field = leaf_req["path"]
-    terms = leaf_req.get("terms") or [leaf_req["term"]]
-    opts = _leaf_opts(leaf_req)
+    terms, opts = _leaf_terms_opts(leaf_req)
     ids: set = set()
     for t in terms:
         ids |= index.leaf_ids(field, index.match_terms(field, t, **opts))
@@ -327,14 +351,13 @@ def _scored_leaves(index: "RefIndex", node: dict) -> list[tuple[str, set]]:
     if "or" in node or "and" in node:
         op = "or" if "or" in node else "and"
         out = []
-        for c in node[op]:
+        for c in _tree_children(node[op]):
             out.extend(_scored_leaves(index, c))
         return out
     leaf_req = node.get("search", node)
     field = leaf_req["path"]
-    terms = leaf_req.get("terms") or [leaf_req["term"]]
-    opts = _leaf_opts(leaf_req)
-    return [(t if opts["is_regex"] else t.lower(),
+    terms, opts = _leaf_terms_opts(leaf_req)
+    return [(_leaf_tag(t, opts),
              index.leaf_ids(field, index.match_terms(field, t, **opts)))
             for t in terms]
 

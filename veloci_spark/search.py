@@ -164,13 +164,16 @@ class FulltextIndex:
 def match_terms(index: FulltextIndex, field: str, term: str, *,
                 levenshtein: int = 0, starts_with: bool = False,
                 is_regex: bool = False, top: int | None = None,
-                skip: int = 0) -> pd.DataFrame:
+                skip: int = 0, ignore_case: bool = True) -> pd.DataFrame:
     """Match a query term against the dictionary.
 
     Returns a pandas DataFrame (term, term_id, distance, prefix, score) —
-    small by construction (dictionary hits only).
+    small by construction (dictionary hits only). ``ignore_case=False``
+    (reference RequestSearchPart.ignore_case, search_field.rs:87-88)
+    matches raw against raw; regex sensitivity is scoped in-pattern
+    upstream, so the flag only affects plain/fuzzy/prefix shapes here.
     """
-    lower = term.lower()
+    lower = term.lower() if ignore_case else term
     n_chars = max(len(lower), 1)
     d_auto = min(levenshtein, n_chars - 1, 4)
     check_prefix = starts_with or levenshtein != 0
@@ -178,15 +181,17 @@ def match_terms(index: FulltextIndex, field: str, term: str, *,
     if index.fields.get(field, {}).get("identity"):
         return _match_identity(index, field, term, lower, n_chars, d_auto,
                                check_prefix, starts_with, is_regex, levenshtein,
-                               top, skip)
+                               top, skip, ignore_case=ignore_case)
 
     local = index.local_dict(field)
     if local is not None:
         return _match_terms_local(local, lower, n_chars, d_auto, check_prefix,
-                                  term, starts_with, is_regex, top, skip)
+                                  term, starts_with, is_regex, top, skip,
+                                  ignore_case)
 
     cand = _dict_candidates(index.dict_df.where(F.col("field") == field),
-                            term, lower, n_chars, d_auto, starts_with, is_regex)
+                            term, lower, n_chars, d_auto, starts_with,
+                            is_regex, ignore_case)
 
     # cap the driver collect (same 100k bound as the identity path): a
     # match-everything regex over a >2M-term dictionary must not stream the
@@ -201,7 +206,7 @@ def match_terms(index: FulltextIndex, field: str, term: str, *,
             .limit(dict_match_cap).toPandas())
     if rows.empty:
         return pd.DataFrame(columns=["term", "term_id", "distance", "prefix", "score"])
-    tl = rows["term"].str.lower()
+    tl = rows["term"].str.lower() if ignore_case else rows["term"]
     dist = np.where(tl.values == lower, 0,
                     levenshtein_batch(list(tl.values), lower, 254)).astype(np.int64)
     prefix = np.array([check_prefix and s.startswith(lower) for s in tl.values], dtype=bool)
@@ -216,7 +221,8 @@ def match_terms(index: FulltextIndex, field: str, term: str, *,
 
 
 def _jvm_match_pred(col, term: str, lower: str, n_chars: int, d_auto: int,
-                    starts_with: bool, is_regex: bool):
+                    starts_with: bool, is_regex: bool,
+                    ignore_case: bool = True):
     """Whole-stage-codegen selection predicate implementing the dictionary
     match semantics over a string Column. Covers EVERY match shape — no
     interpreted per-key fallback remains (VERDICT r4 "what's missing" #2).
@@ -238,14 +244,19 @@ def _jvm_match_pred(col, term: str, lower: str, n_chars: int, d_auto: int,
       longer-L terms: substring past the end is just the key, still one of
       its own prefixes — no false positives possible, every conjunct tests
       a genuine prefix).
+
+    ``ignore_case=False`` (reference ignore_case=Some(false),
+    search_field.rs:75,87-88: the automaton folds case only when asked)
+    compares the raw column against the raw query — ``lower`` is then the
+    UNFOLDED query term.
     """
     if is_regex:
         jpat = "(?iu)^(?:" + term + ")" + ("" if starts_with else "\\z")
         return col.rlike(jpat)
+    low = F.lower(col) if ignore_case else col
     if starts_with:
         if d_auto == 0:
-            return F.lower(col).startswith(F.lit(lower))
-        low = F.lower(col)
+            return low.startswith(F.lit(lower))
         pred = None
         for plen in range(max(1, n_chars - d_auto), n_chars + d_auto + 1):
             p = F.levenshtein(F.substring(low, 1, plen),
@@ -253,16 +264,17 @@ def _jvm_match_pred(col, term: str, lower: str, n_chars: int, d_auto: int,
             pred = p if pred is None else (pred | p)
         return pred
     if d_auto == 0:
-        return F.lower(col) == F.lit(lower)
+        return low == F.lit(lower)
     return (
         (F.length(col) >= n_chars - d_auto)
         & (F.length(col) <= n_chars + d_auto)
-        & (F.levenshtein(F.lower(col), F.lit(lower), d_auto) >= 0)
+        & (F.levenshtein(low, F.lit(lower), d_auto) >= 0)
     )
 
 
 def _dict_candidates(d: DataFrame, term: str, lower: str, n_chars: int,
-                     d_auto: int, starts_with: bool, is_regex: bool) -> DataFrame:
+                     d_auto: int, starts_with: bool, is_regex: bool,
+                     ignore_case: bool = True) -> DataFrame:
     """Candidate selection on the DISTRIBUTED dictionary — JVM built-ins
     on EVERY shape (VERDICT r3 #2 / r4 missing #2: the reference's
     automaton∩FST, search_field.rs:68-99, never runs per-key interpreted
@@ -273,19 +285,25 @@ def _dict_candidates(d: DataFrame, term: str, lower: str, n_chars: int,
     the same numpy DP the local path uses, so ranks are path-identical.
     """
     return d.where(_jvm_match_pred(F.col("term"), term, lower, n_chars,
-                                   d_auto, starts_with, is_regex))
+                                   d_auto, starts_with, is_regex, ignore_case))
 
 
 def _identity_selection(values, lower: str, term: str, n_chars: int,
                         d_auto: int, check_prefix: bool, starts_with: bool,
-                        is_regex: bool):
+                        is_regex: bool, ignore_case: bool = True):
     """Selection mask + distances + prefix flags for identity-field values —
     the exact dictionary-match semantics of pyref.RefIndex.match_terms,
-    applied to the raw column values (which ARE the dictionary terms)."""
+    applied to the raw column values (which ARE the dictionary terms).
+    ``ignore_case=False`` compares raw values against the raw query
+    (``lower`` is then unfolded)."""
     import re as _re
 
     vals = np.asarray(values, dtype=object)
-    low = np.array([v.lower() if v is not None else "" for v in vals], dtype=object)
+    if ignore_case:
+        low = np.array([v.lower() if v is not None else "" for v in vals],
+                       dtype=object)
+    else:
+        low = np.array([v if v is not None else "" for v in vals], dtype=object)
     if is_regex:
         rx = _re.compile(term, _re.IGNORECASE)
         if starts_with:
@@ -321,12 +339,12 @@ def _identity_selection(values, lower: str, term: str, n_chars: int,
 
 
 def _identity_scores(values, lower, term, n_chars, d_auto, check_prefix,
-                     starts_with, is_regex) -> np.ndarray:
+                     starts_with, is_regex, ignore_case=True) -> np.ndarray:
     """Per-value final f32 score (NaN = not selected): term_score ×
     f16(IDENTITY_STORED)/100."""
     sel, dist, prefix = _identity_selection(values, lower, term, n_chars,
                                             d_auto, check_prefix, starts_with,
-                                            is_regex)
+                                            is_regex, ignore_case)
     ts = term_score(dist, prefix)
     fin = (ts * (np.float16(IDENTITY_STORED).astype(_F32) / _F32(100.0))).astype(_F32)
     return np.where(sel, fin, np.float32("nan")).astype(_F32)
@@ -336,7 +354,7 @@ def _match_identity(index: FulltextIndex, field: str, term: str, lower: str,
                     n_chars: int, d_auto: int, check_prefix: bool,
                     starts_with: bool, is_regex: bool, levenshtein: int,
                     top: int | None, skip: int,
-                    cap: int = 100_000) -> pd.DataFrame:
+                    cap: int = 100_000, ignore_case: bool = True) -> pd.DataFrame:
     """Dictionary-style match against an identity column: the doc store is
     scanned (selection runs distributed), matches are collected capped.
     term_id ≡ doc_id for the order column (the identity).
@@ -351,7 +369,7 @@ def _match_identity(index: FulltextIndex, field: str, term: str, lower: str,
     lowest-term_id-wins rule."""
     fc = index.fields[field]
     sel = _jvm_match_pred(F.col("value"), term, lower, n_chars, d_auto,
-                          starts_with, is_regex)
+                          starts_with, is_regex, ignore_case)
     rows = (
         index.docs.select("doc_id", F.col(field).alias("value"))
         .where(F.col("value").isNotNull())
@@ -366,7 +384,7 @@ def _match_identity(index: FulltextIndex, field: str, term: str, lower: str,
     sel_py, dist, prefix = _identity_selection(rows["value"].values, lower,
                                                term, n_chars, d_auto,
                                                check_prefix, starts_with,
-                                               is_regex)
+                                               is_regex, ignore_case)
     if not sel_py.all():
         # JVM/Python semantics can diverge on exotic patterns (e.g. Java
         # character-class intersection) — the Python selection stays the
@@ -386,12 +404,13 @@ def _match_identity(index: FulltextIndex, field: str, term: str, lower: str,
 def _match_terms_local(local: pd.DataFrame, lower: str, n_chars: int,
                        d_auto: int, check_prefix: bool, term: str,
                        starts_with: bool, is_regex: bool,
-                       top: int | None, skip: int) -> pd.DataFrame:
+                       top: int | None, skip: int,
+                       ignore_case: bool = True) -> pd.DataFrame:
     """Driver-side dictionary match (vectorized over the sorted local dict);
     selection semantics identical to the distributed path."""
     import re as _re
 
-    tl = local["lower"]
+    tl = local["lower"] if ignore_case else local["term"]
     if is_regex:
         rx = _re.compile(term, _re.IGNORECASE)
         if starts_with:
@@ -416,7 +435,7 @@ def _match_terms_local(local: pd.DataFrame, lower: str, n_chars: int,
     hit = local[sel]
     if hit.empty:
         return pd.DataFrame(columns=["term", "term_id", "distance", "prefix", "score"])
-    tlh = hit["lower"].values
+    tlh = hit["lower"].values if ignore_case else hit["term"].values
     dist = np.where(tlh == lower, 0,
                     levenshtein_batch(list(tlh), lower, 254)).astype(np.int64)
     prefix = np.array([check_prefix and s.startswith(lower) for s in tlh], dtype=bool)
@@ -452,8 +471,11 @@ class _Leaf:
         # leaves, where lowercasing mutates the pattern itself (`\W` → `\w`,
         # `(?-i:Type1)` → `(?-i:type1)`): case-variant case-sensitive
         # patterns must stay distinct tags/leaves, so the raw pattern is the
-        # identity (ADVICE r3).
-        self.tag = term if opts.get("is_regex") else term.lower()
+        # identity (ADVICE r3). Case-SENSITIVE plain leaves likewise keep
+        # the raw term (folding would merge case-distinct queries).
+        self.tag = (term if opts.get("is_regex")
+                    or opts.get("ignore_case", True) is False
+                    else term.lower())
         self.boost = boost
         self.matched = None  # pandas df from match_terms
 
@@ -483,12 +505,15 @@ def _parse_tree(node: dict, leaves: list, dedup: dict):
         "is_regex": leaf_req.get("is_regex", False),
         "top": leaf_req.get("top"),
         "skip": leaf_req.get("skip", 0),
+        "ignore_case": leaf_req.get("ignore_case", True),
     }
     # case-SENSITIVE regex (reference ignore_case=Some(false)): every regex
     # compile site uses IGNORECASE, so sensitivity is scoped into the
-    # pattern itself — no matcher plumbing, identical on every match path
-    if opts["is_regex"] and leaf_req.get("ignore_case", True) is False:
+    # pattern itself — no matcher plumbing, identical on every match path.
+    # Plain-term sensitivity rides the opts flag through match_terms.
+    if opts["is_regex"] and opts["ignore_case"] is False:
         terms = [f"(?-i:{t})" for t in terms]
+        opts["ignore_case"] = True
     boost = leaf_req.get("boost")
     # per-leg field-boost specs: reference "options": {"boost": [...]}
     # (a LIST of boost-by-field specs, distinct from the scalar multiplier)
@@ -1575,7 +1600,8 @@ def _identity_leaf_rows(index: FulltextIndex, leaf) -> DataFrame:
     doc_id, so the order matches :func:`_match_identity` exactly. The
     truncation is a distributed TakeOrderedAndProject (bounded collect)."""
     fc = index.fields[leaf.field]
-    lower = leaf.term.lower()
+    ignore_case = leaf.opts.get("ignore_case", True)
+    lower = leaf.term.lower() if ignore_case else leaf.term
     n_chars = max(len(lower), 1)
     d_auto = min(leaf.opts.get("levenshtein", 0), n_chars - 1, 4)
     check_prefix = leaf.opts.get("starts_with", False) or leaf.opts.get("levenshtein", 0) != 0
@@ -1591,7 +1617,8 @@ def _identity_leaf_rows(index: FulltextIndex, leaf) -> DataFrame:
         # filter would make Catalyst evaluate the Python UDF twice
         for pdf in iterator:
             s = _identity_scores(pdf["value"].values, lower, term, n_chars,
-                                 d_auto, check_prefix, starts_with, is_regex)
+                                 d_auto, check_prefix, starts_with, is_regex,
+                                 ignore_case)
             keep = ~np.isnan(s)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].values[keep],
@@ -1603,7 +1630,7 @@ def _identity_leaf_rows(index: FulltextIndex, leaf) -> DataFrame:
         .where(F.octet_length("value") <= fc["max_text_store_bytes"])
     )
     sel = _jvm_match_pred(F.col("value"), term, lower, n_chars, d_auto,
-                          starts_with, is_regex)
+                          starts_with, is_regex, ignore_case)
     scored = base_rows.where(sel).mapInPandas(score_filter,
                                               schema="doc_id long, s float")
     leaf_top = leaf.opts.get("top")
