@@ -699,6 +699,57 @@ class TestBoostRanking:
         assert sel[top]["meanings.ger[]"][0] == "majestätischer Anblick (m)"
 
 
+class TestLocalityAndReadTree:
+    def test_boost_text_localitaet(self, jm_index):
+        # tests.rs:1239-1256 boost_text_localitaet — the doc holding BOTH
+        # query terms in ONE value ("text localität") must win the OR;
+        # request uses the canonical SearchTree object form
+        from veloci_spark.search import read_data, search
+
+        res = search(jm_index, {
+            "search_req": {"or": {"queries": [
+                {"search": {"terms": ["text"], "path": "meanings.ger[]"}},
+                {"search": {"terms": ["localität"],
+                            "path": "meanings.ger[]"}}]}},
+            "text_locality": True})
+        win = read_data(jm_index, res["data"][0]["doc_id"],
+                        ["meanings.ger[]"])
+        assert win["meanings.ger[]"][0] == "text localität"
+
+    def test_read_data_skips_none_values(self, jm_index):
+        # tests.rs:1289-1296 should_skip_existing_fields_which_are_not_
+        # existent_in_the_object_none_values — absent fields are SKIPPED,
+        # not emitted as nulls (doc 3 has no mylongtext)
+        from veloci_spark.search import read_data
+
+        out = read_data(jm_index, 3, ["mylongtext"])
+        assert "mylongtext" not in out
+
+    def test_read_recreate_complete_object(self, jm_index):
+        # tests.rs:1298-1320 read_recreate_complete_object_with_read — a
+        # read over EVERY indexed field reconstructs the document's content
+        # (our read-tree keys by path, the reference nests; values must
+        # match including the reference's boost-column int→string quirk)
+        from veloci_spark.search import read_data
+
+        out = read_data(jm_index, 4)
+        assert out["ent_seq"] == "1587700"
+        assert out["commonness"] == 500
+        assert out["tags[]"] == ["awesome", "cool"]
+        assert out["kanji[].text"] == ["意慾"]
+        assert out["kanji[].commonness"] == ["20"]
+        assert out["kana[].text"] == ["いよく"]
+        assert out["field1[].text"] == ["awesome"]
+        assert out["field1[].rank"] == ["1"]
+        assert out["meanings.eng[]"] == ["test1"]
+        assert out["meanings.ger[]"] == ["der test",
+                                         "das ist ein guter Treffer"]
+        # fields the doc does not carry stay absent (kana[].romaji is None
+        # on doc 4; nofulltext/mylongtext belong to other docs)
+        for absent in ("kana[].romaji", "nofulltext", "mylongtext"):
+            assert absent not in out
+
+
 class TestSelectAndSuggest:
     def test_select_on_long_text(self, jm_index):
         # tests.rs:991-1008 — select returns the full long text verbatim

@@ -2130,7 +2130,10 @@ def read_data(index: FulltextIndex, doc_id: int,
         fields = [f["name"] for f in index.manifest["fields"]]
     flat = [f for f in fields if f not in index.values and f in index.docs.columns]
     row = get_doc(index, doc_id, flat) if flat else {"doc_id": doc_id}
-    out: dict = dict(row) if row else {}
+    # fields the document does not carry are SKIPPED, not emitted as null
+    # (reference read_document.rs none-value behavior, tests.rs:1290-1296)
+    out: dict = {k: v for k, v in dict(row).items() if v is not None} \
+        if row else {}
     for f in fields:
         if f in index.values:
             vrows = (
