@@ -444,6 +444,26 @@ def test_facet_path_ranking_matches_plain_path(spark_index):
             [(d["doc_id"], d["score"]) for d in plain["data"]]
 
 
+def test_facet_fused_matches_join_path(spark_index, monkeypatch):
+    # the fused single-job facet kernel (driver-resident doc→value map,
+    # _partition_topk_facets_factory) and the Spark-join fallback must
+    # produce identical counts, ordering, truncation, ranking, and num_hits
+    from veloci_spark import search as S
+
+    req = {"or": [{"search": {"terms": ["greg"], "path": "text"}},
+                  {"search": {"terms": ["text"], "path": "text"}}],
+           "facets": [{"field": "lang", "top": 3}], "top": 5}
+    assert spark_index.facet_map("lang") is not None  # fused path active
+    fused = S.search(spark_index, req)
+    monkeypatch.setattr(S.FulltextIndex, "facet_map",
+                        lambda self, fld: None)
+    joined = S.search(spark_index, req)
+    assert fused["facets"] == joined["facets"]
+    assert fused["num_hits"] == joined["num_hits"]
+    assert [(d["doc_id"], d["score"]) for d in fused["data"]] == \
+        [(d["doc_id"], d["score"]) for d in joined["data"]]
+
+
 def test_suggest(spark_index):
     from veloci_spark.search import suggest
 

@@ -133,12 +133,42 @@ class FulltextIndex:
         )
         self._local_dict_max_terms = local_dict_max_terms
         self._local_dict: dict[str, pd.DataFrame] | None = None
+        # per-field driver-resident facet stores (see facet_map)
+        self._facet_maps: dict[str, "tuple | None"] = {}
 
     def cache(self):
         """Pin the dictionary + postings (the reference's LoadingType=InMemory)."""
         self.dict_df.cache().count()
         self.postings.cache().count()
         return self
+
+    def facet_map(self, fld: str) -> "tuple[np.ndarray, np.ndarray] | None":
+        """Driver-resident (doc_ids_sorted, values) facet store for the
+        fused single-job facet path — the same structure the reference keeps
+        as a local doc_id→value-id token store for facet counting
+        (/root/reference/src/facet/mod.rs:75-94 reads it mmap'd per shard).
+        One row per (doc, value) — repeats for 1:n fields. None when the
+        corpus exceeds the local threshold or values aren't strings; callers
+        fall back to the Spark-join facet path. Built once per field,
+        cached on the handle like :meth:`local_dict`."""
+        if int(self.manifest["n_docs"]) > 1_000_000:
+            return None
+        if fld in self._facet_maps:
+            return self._facet_maps[fld]
+        if fld in self.values:
+            src = self.values[fld].select("doc_id", F.col("value").alias("_fv"))
+        elif fld in self.docs.columns:
+            src = self.docs.select("doc_id", F.col(fld).alias("_fv"))
+        else:
+            self._facet_maps[fld] = None
+            return None
+        out = None
+        if dict(src.dtypes)["_fv"] == "string":
+            pdf = src.orderBy("doc_id").toPandas()
+            out = (pdf["doc_id"].to_numpy(np.int64),
+                   pdf["_fv"].to_numpy(dtype=object))
+        self._facet_maps[fld] = out
+        return out
 
     def local_dict(self, field: str) -> "pd.DataFrame | None":
         """Per-field driver-side dictionary (term, term_id, lower) sorted by
@@ -1710,6 +1740,76 @@ def _partition_topk_factory(k: int, count_col: str | None = None):
     return fn
 
 
+def _partition_topk_facets_factory(k: int, facet_maps: list):
+    """Fused mapInPandas kernel: :func:`_partition_topk_factory` PLUS
+    per-partition facet counting against driver-resident doc→value maps
+    (:meth:`FulltextIndex.facet_map`), so a faceted request is ONE Spark
+    job — kernel stage → this narrow map → driver merge — instead of a
+    top-k job plus per-facet join jobs (each paying its own multi-stage
+    scheduling floor; q11 was q01+69% even with the jobs running
+    concurrently). Mirrors the reference, which counts facets from a local
+    doc_id→value-id store during hit collection (facet/mod.rs:75-94) rather
+    than joining a second relation.
+
+    ``facet_maps``: [(field, doc_ids_sorted, values)] — one row per
+    (doc, value), repeats for 1:n fields. Output rows are tagged: hit rows
+    carry ``ff`` NULL; facet rows carry (ff, fv, fcnt) partial counts the
+    driver sums. Only used when every requested facet has a local map
+    (≤1M-doc corpus); past that the Spark-join path runs instead."""
+    k = max(k, 1)
+
+    def fn(iterator):
+        ids_parts, sc_parts, n = [], [], 0
+        pending = 0
+        fcounts: list[dict] = [dict() for _ in facet_maps]
+        for pdf in iterator:
+            n += len(pdf)
+            if not len(pdf):
+                continue
+            bids = pdf["doc_id"].to_numpy(np.int64)
+            for slot, (_fld, mids, mvals) in enumerate(facet_maps):
+                lo = np.searchsorted(mids, bids, side="left")
+                hi = np.searchsorted(mids, bids, side="right")
+                sel = np.flatnonzero(hi > lo)
+                if not len(sel):
+                    continue
+                gath = np.concatenate(
+                    [np.arange(lo[i], hi[i]) for i in sel])
+                d = fcounts[slot]
+                vc = pd.Series(mvals[gath]).value_counts(dropna=False)
+                for v, c in vc.items():
+                    key = None if pd.isna(v) else v
+                    d[key] = d.get(key, 0) + int(c)
+            ids_parts.append(bids)
+            sc_parts.append(pdf["score"].to_numpy(_F32))
+            pending += len(pdf)
+            if pending > 4 * k and len(ids_parts) > 1:
+                ids = np.concatenate(ids_parts)
+                sc = np.concatenate(sc_parts)
+                order = np.lexsort((-ids, -sc.astype(np.float64)))[:k]
+                ids_parts, sc_parts = [ids[order]], [sc[order]]
+                pending = len(order)
+        if ids_parts:
+            ids = np.concatenate(ids_parts)
+            sc = np.concatenate(sc_parts)
+            order = np.lexsort((-ids, -sc.astype(np.float64)))[:k]
+            cnt = np.zeros(len(order), dtype=np.int64)
+            cnt[0] = n
+            yield pd.DataFrame({"doc_id": ids[order], "score": sc[order],
+                                "cnt": cnt, "ff": None, "fv": None,
+                                "fcnt": np.int64(0)})
+        for slot, (fld, _m, _v) in enumerate(facet_maps):
+            d = fcounts[slot]
+            if d:
+                yield pd.DataFrame({
+                    "doc_id": np.int64(0), "score": _F32(0.0),
+                    "cnt": np.int64(0), "ff": fld,
+                    "fv": np.array(list(d.keys()), dtype=object),
+                    "fcnt": np.array(list(d.values()), dtype=np.int64)})
+
+    return fn
+
+
 def _segment_kernel_factory(plan: dict, scored_leaf_ids: set):
     count_hits = bool(plan.get("count_hits"))
     top_extra = {int(s): int(n) for s, n in (plan.get("top_extra") or {}).items()}
@@ -1835,19 +1935,26 @@ def search(index: FulltextIndex, request: dict) -> dict:
     # re-pays the post-shuffle segment-kernel decode — and skipping the
     # cache also removes the unbounded memory of materializing a
     # match-everything hit set.
-    cache_hits = need_all and len(facet_specs) >= 2
+    # fused facet path: when every requested facet field has a
+    # driver-resident doc→value map (≤1M-doc corpus), count facets inside
+    # the same single job that ranks and counts hits
+    _ufields = list(dict.fromkeys(s["field"] for s in facet_specs))
+    _maps = {f: index.facet_map(f) for f in _ufields}
+    fused_facets = bool(facet_specs) and all(
+        _maps[f] is not None for f in _ufields)
+    cache_hits = need_all and len(facet_specs) >= 2 and not fused_facets
     if cache_hits:
         hits = hits.cache()
-    if need_all:
-        # ONE job returns each partition's exact row count + its (top+skip)
-        # best rows — the separate count() pass and the TakeOrdered ranking
-        # pass collapse into it (r4)
-        rows = (hits.select("doc_id", "score")
-                .mapInPandas(_partition_topk_factory(top + skip),
-                             schema="doc_id long, score float, cnt long")
-                .collect())
-        num_hits = int(sum(r["cnt"] for r in rows))
-    else:
+
+    def _collect_rows():
+        if need_all:
+            # ONE job returns each partition's exact row count + its
+            # (top+skip) best rows — the separate count() pass and the
+            # TakeOrdered ranking pass collapse into it (r4)
+            return (hits.select("doc_id", "score")
+                    .mapInPandas(_partition_topk_factory(top + skip),
+                                 schema="doc_id long, score float, cnt long")
+                    .collect())
         # plain top-k: a partition-level pre-merge (narrow map chained onto
         # the kernel stage — same job, no shuffle) reduces each partition's
         # kernel output (≤ k hits + exact count per SEGMENT) to its k best
@@ -1856,13 +1963,12 @@ def search(index: FulltextIndex, request: dict) -> dict:
         # 10¹² docs). This also hard-bounds the rare plan shapes that force
         # the kernel to emit full hit sets without need_all (ADVICE r4:
         # `_plan["top"] is None` must never raw-collect).
-        rows = (hits.mapInPandas(_partition_topk_factory(top + skip,
+        return (hits.mapInPandas(_partition_topk_factory(top + skip,
                                                          count_col="seg_hits"),
                                  schema="doc_id long, score float, cnt long")
                 .collect())
-        num_hits = int(sum(r["cnt"] for r in rows))
 
-    def _ranked():
+    def _ranked(rows):
         if not rows:
             return []
         ids = np.fromiter((r["doc_id"] for r in rows), np.int64, len(rows))
@@ -1871,51 +1977,102 @@ def search(index: FulltextIndex, request: dict) -> dict:
         return [rows[j] for j in order]
 
     facets: dict = {}
-    if facet_specs:
-        # for a selective query the hit set is the SMALL side of the
-        # hits⋈docs join — broadcast it so facet counting is a map-side
-        # hash join over the doc/value store instead of shuffling both
-        # sides (don't rely on AQE discovering it at runtime). Guarded by
-        # the materialized count: a match-everything query's hit set may
-        # be corpus-sized and must shuffle normally.
-        bhits = hits.select("doc_id")
-        if num_hits is not None and num_hits <= 1_000_000:
-            bhits = F.broadcast(bhits)
+    # try/finally so a failing collect/facet job can't leak the cached hit
+    # set (same discipline as MultiIndex.search, ADVICE r4)
+    try:
+        if fused_facets:
+            out_rows = (
+                hits.select("doc_id", "score")
+                .mapInPandas(
+                    _partition_topk_facets_factory(
+                        top + skip, [(f, *_maps[f]) for f in _ufields]),
+                    schema="doc_id long, score float, cnt long, "
+                           "ff string, fv string, fcnt long")
+                .collect())
+            rows = [r for r in out_rows if r["ff"] is None]
+            num_hits = int(sum(r["cnt"] for r in rows))
+            ranked = _ranked(rows)
+            agg: dict = {}
+            for r in out_rows:
+                if r["ff"] is not None:
+                    key = (r["ff"], r["fv"])
+                    agg[key] = agg.get(key, 0) + r["fcnt"]
+            for spec in facet_specs:
+                fld = spec["field"]
+                vals = [(v, c) for (f2, v), c in agg.items() if f2 == fld]
+                # (count DESC, value ASC nulls-first) — byte-identical to
+                # the Spark-join path's orderBy
+                vals.sort(key=lambda t: (-t[1], t[0] is not None, t[0] or ""))
+                facets[fld] = vals[:spec.get("top", 10)]
+        elif facet_specs:
+            # facet counting = hits⋈(doc→value) join + count. The broadcast
+            # decision keys on the CORPUS size, not the materialized hit
+            # count: not depending on num_hits lets the facet jobs launch
+            # CONCURRENTLY with the count+top-k job instead of serializing
+            # two Spark jobs back-to-back (the profiled ~0.5 s second-job
+            # floor was the whole q11−q01 gap, BENCH/BASELINE.md §3).
+            small_corpus = int(index.manifest["n_docs"]) <= 1_000_000
+            bhits = hits.select("doc_id")
 
-        def _facet(spec):
-            fld = spec["field"]
-            ftop = spec.get("top", 10)
-            if fld in index.values:
-                # 1:n facet (reference facet.rs:75-94): count VALUES of the
-                # hit docs — one value row per (doc, pos)
-                src = index.values[fld].select("doc_id",
-                                               F.col("value").alias("_fv"))
-            else:
-                src = index.docs.select("doc_id", F.col(fld).alias("_fv"))
-            fc = (
-                src.join(bhits, on="doc_id")
-                .groupBy("_fv").count()
-                .orderBy(F.desc("count"), F.asc("_fv"))
-                .limit(ftop).collect()
-            )
-            return fld, [(r["_fv"], r["count"]) for r in fc]
+            def _facet(spec):
+                fld = spec["field"]
+                ftop = spec.get("top", 10)
+                if fld in index.values:
+                    # 1:n facet (reference facet.rs:75-94): count VALUES of the
+                    # hit docs — one value row per (doc, pos)
+                    src = index.values[fld].select("doc_id",
+                                                   F.col("value").alias("_fv"))
+                else:
+                    src = index.docs.select("doc_id", F.col(fld).alias("_fv"))
+                if small_corpus:
+                    # broadcast the doc→value MAP and chain the join + agg
+                    # directly onto the kernel output: ONE job (kernel stage
+                    # → map-side hash join → partial agg → tiny shuffle →
+                    # TakeOrdered) instead of materializing the hit lineage
+                    # twice (once for a hit-side broadcast, once to scan).
+                    # ≤1M docs ⇒ the map is ≤ a few MB even 1:n.
+                    joined = bhits.join(F.broadcast(src), on="doc_id")
+                else:
+                    # at corpus scale the doc→value map cannot broadcast;
+                    # join the (usually far smaller) hit side against the
+                    # value store with no hint — AQE picks broadcast at
+                    # runtime from the actual materialized hit size,
+                    # correct for both a selective query (broadcasts) and
+                    # a match-everything scan over 10¹² docs (shuffles).
+                    joined = src.join(bhits, on="doc_id")
+                fc = (
+                    joined
+                    .groupBy("_fv").count()
+                    .orderBy(F.desc("count"), F.asc("_fv"))
+                    .limit(ftop).collect()
+                )
+                return fld, [(r["_fv"], r["count"]) for r in fc]
 
-        # the count+top-k pass already ran and ranking is a driver-side
-        # merge — only the facet jobs touch Spark; run them CONCURRENTLY
-        # (wall time = the slowest one, not the sum), sharing the cached
-        # hit set when there are several
-        from concurrent.futures import ThreadPoolExecutor
+            # ALL jobs — the count+top-k collect and every facet — run
+            # concurrently from separate driver threads (wall time = the
+            # slowest job, not the sum; the facet jobs recompute the hit
+            # lineage in parallel rather than waiting to reuse the top-k
+            # job's cache, a deliberate work-for-latency trade measured
+            # worthwhile at every scale where the second-job floor is
+            # visible). The driver-side rank merge overlaps the facet jobs.
+            from concurrent.futures import ThreadPoolExecutor
 
-        ranked = _ranked()
-        if len(facet_specs) == 1:
-            fld, vals = _facet(facet_specs[0])
-            facets[fld] = vals
-        else:
-            with ThreadPoolExecutor(max_workers=len(facet_specs)) as ex:
-                for fld, vals in ex.map(_facet, facet_specs):
+            with ThreadPoolExecutor(max_workers=len(facet_specs) + 1) as ex:
+                fut_rows = ex.submit(_collect_rows)
+                futs = [ex.submit(_facet, s) for s in facet_specs]
+                rows = fut_rows.result()
+                num_hits = int(sum(r["cnt"] for r in rows))
+                ranked = _ranked(rows)
+                for f in futs:
+                    fld, vals = f.result()
                     facets[fld] = vals
-    else:
-        ranked = _ranked()
+        else:
+            rows = _collect_rows()
+            num_hits = int(sum(r["cnt"] for r in rows))
+            ranked = _ranked(rows)
+    finally:
+        if cache_hits:
+            hits.unpersist()
     ranked = ranked[skip:]
     out = {
         "num_hits": num_hits,
@@ -1927,8 +2084,6 @@ def search(index: FulltextIndex, request: dict) -> dict:
     }
     if facet_specs:
         out["facets"] = facets
-    if cache_hits:
-        hits.unpersist()
     if request.get("select"):
         by_id = select_docs(index, [d["doc_id"] for d in out["data"]],
                             request["select"])
