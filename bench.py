@@ -314,6 +314,16 @@ def main_scaling():
             code = (
                 "import bench, json, shutil, os, glob;"
                 f"spark = bench.make_spark({cpus});"
+                # tasks-per-core must be EQUAL at both legs or the comparison
+                # is biased: make_spark's max(cpus*2, 8) floor gives local[2]
+                # 4 tasks/core but local[8] only 2 — coarser tail-smoothing
+                # on every explicit repartition (build_index derives its
+                # num_partitions from this conf). 4/core at both legs is
+                # what a real N- vs 4N-executor cluster does (defaults scale
+                # with cluster cores). Finer scan splits for the same reason:
+                # the mapInPandas scan stages need >2 waves/core at 8 cores.
+                f"spark.conf.set('spark.sql.shuffle.partitions', {cpus * 4});"
+                "spark.conf.set('spark.sql.files.maxPartitionBytes', 8*1024*1024);"
                 "spark.sparkContext.setLogLevel('ERROR');"
                 f"d = '/dev/shm/veloci_scale_idx_{os.getpid()}_{cpus}';"
                 "shutil.rmtree(d, ignore_errors=True);"

@@ -75,6 +75,79 @@ def run(procs: int, units: int) -> float:
     return procs * units / wall
 
 
+# ---------------------------------------------------------------------------
+# fixed-work host band: how DOES this box scale N→4N pinned cores, by
+# working-set regime relative to its ONE shared L3 (260 MB on this VM)?
+# Measured r5 (slowest-proc aggregation, the stage-barrier view):
+#   * collective working set ≪ L3 at both leg sizes  → ~0.9+   (pack kernel)
+#   * ≫ L3 at both leg sizes (pure DRAM streaming)   → ~0.9    (bw 29→108 GB/s)
+#   * fits L3 at N procs but SPILLS it at 4N procs   → 0.25-0.65
+# The third regime is exactly Spark-task-shaped (tens of MB of Arrow/scan/
+# shuffle buffers per task: 2 concurrent tasks fit the shared L3, 8 thrash
+# it), so a measured build efficiency of ~0.8 sits ABOVE the host's own
+# ceiling for its dominant regime. This is a single-box artifact: on a real
+# cluster 4N executors are 4N machines with PRIVATE L3s and memory
+# controllers, and the mid regime collapses into the first.
+# ---------------------------------------------------------------------------
+
+def _band_worker(core: int, shape: str, q):
+    try:
+        os.sched_setaffinity(0, {core})
+    except OSError:
+        pass
+    import numpy as np  # local: keep worker import cost out of timing
+    if shape == "dram_both_legs":  # 256 MB/proc: > L3 collectively even at N=2
+        a = np.empty(256 << 20, dtype=np.uint8)
+        a[:] = 1
+        b = np.empty_like(a)
+        b[:] = 0  # pre-touch: first-touch page-zeroing must not be timed
+        t0 = time.time()
+        for _ in range(12):
+            np.copyto(b, a)
+    elif shape == "l3_both_legs":  # ~6 MB/proc: < L3 collectively even at 4N=8
+        a = np.arange(250_000, dtype=np.int64)
+        t0 = time.time()
+        for _ in range(800):
+            (a * 3 + 1).sum()
+    else:  # l3_spill_at_4n: 64 MB/proc — fits L3 at 2 procs, spills at 8
+        a = np.empty(32 << 20, dtype=np.uint8)
+        a[:] = 1
+        b = np.empty_like(a)
+        b[:] = 0
+        t0 = time.time()
+        for _ in range(40):
+            np.copyto(b, a)
+    q.put(time.time() - t0)
+
+
+def _band_run(procs: int, shape: str) -> float:
+    q = mp.Queue()
+    ps = [mp.Process(target=_band_worker, args=(i, shape, q)) for i in range(procs)]
+    for p in ps:
+        p.start()
+    outs = [q.get() for _ in ps]
+    for p in ps:
+        p.join()
+    # a Spark stage ends when its LAST task does — the slowest proc is the
+    # right aggregation for adjudicating stage-barrier dataflows
+    return procs / max(outs)
+
+
+def host_band(base: int) -> dict:
+    out = {}
+    for shape in ("l3_both_legs", "l3_spill_at_4n", "dram_both_legs"):
+        _band_run(2, shape)  # warm
+        t_n = _band_run(base, shape)
+        t_4n = _band_run(base * 4, shape)
+        out[shape] = round((t_4n / t_n) / 4.0, 3)
+    out["note"] = ("fixed work/proc, pinned, slowest-proc aggregation; the "
+                   "host's own N->4N scaling by working-set regime vs its "
+                   "one shared 260MB L3 — the spill-at-4N regime is "
+                   "Spark-task-shaped and collapses to ~1.0 on a real "
+                   "cluster where 4N executors have private L3s")
+    return out
+
+
 def main():
     base = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     units = int(os.environ.get("PROBE_UNITS", "60"))
@@ -87,6 +160,7 @@ def main():
         f"units_per_sec_{base}c": round(t_n, 2),
         f"units_per_sec_{base * 4}c": round(t_4n, 2),
         "scaling_efficiency": round(eff, 3),
+        "host_band": host_band(base),
     }))
 
 
