@@ -1,0 +1,138 @@
+"""Property-based differential fuzzing: random query trees evaluated by the
+Spark engine and by the independent pure-Python model (veloci_spark.pyref)
+must agree EXACTLY — same doc order, same float32 scores, same num_hits.
+
+The fixed REQUESTS battery in test_search_engine.py covers the reference's
+query shapes (FIXTURES.md §3); this file walks the shape space around them:
+arbitrary OR/AND nestings over exact / fuzzy / prefix leaves with random
+top/skip truncation. Terms are drawn from the corpus vocabulary plus
+mutations (typos for the fuzzy path, prefixes for starts_with, unknown
+terms for the empty-result path).
+
+Runs derandomized (fixed example set) so the suite stays deterministic;
+raise FUZZ_EXAMPLES for a deeper local sweep.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from veloci_spark import pyref
+
+N_EXAMPLES = int(os.environ.get("FUZZ_EXAMPLES", "15"))
+
+
+@pytest.fixture(scope="module")
+def vocab(ref_index):
+    terms = ref_index.fields["text"].terms
+    # spread draws across the dictionary (rank-ordered, so adjacent terms
+    # share prefixes); keep the pool small enough that random trees collide
+    # on documents and exercise the dedup/tie paths
+    step = max(1, len(terms) // 40)
+    return [t for t in terms[::step] if t][:40]
+
+
+def _mutate(term: str, how: int) -> str:
+    """Deterministic term mutations: 0 = as-is, 1 = typo (fuzzy should still
+    match at d=1), 2 = prefix (starts_with should match), 3 = unknown."""
+    if how == 1 and len(term) >= 3:
+        return term[0] + "x" + term[2:]
+    if how == 2 and len(term) >= 4:
+        return term[: len(term) - 2]
+    if how == 3:
+        return term + "zzq"
+    return term
+
+
+def _leaf_strategy(vocab):
+    return st.builds(
+        lambda i, how, fuzzy, prefix: {
+            "search": {
+                "terms": [_mutate(vocab[i % len(vocab)], how)],
+                "path": "text",
+                **({"levenshtein_distance": 1} if fuzzy else {}),
+                **({"starts_with": True} if prefix else {}),
+            }
+        },
+        st.integers(min_value=0, max_value=10_000),
+        st.integers(min_value=0, max_value=3),
+        st.booleans(),
+        st.booleans(),
+    )
+
+
+def _tree_strategy(vocab):
+    leaf = _leaf_strategy(vocab)
+    return st.recursive(
+        leaf,
+        lambda children: st.one_of(
+            st.builds(lambda kids: {"or": kids},
+                      st.lists(children, min_size=2, max_size=3)),
+            st.builds(lambda kids: {"and": kids},
+                      st.lists(children, min_size=2, max_size=3)),
+        ),
+        max_leaves=4,
+    )
+
+
+@pytest.fixture(scope="module")
+def engines(spark_index, ref_index):
+    return spark_index, ref_index
+
+
+def _request_strategy(vocab):
+    def assemble(tree, top, skip, filt_i, tb_i, locality):
+        req = {**tree, "top": top, **({"skip": skip} if skip else {})}
+        if filt_i is not None:
+            req["filter"] = {"search": {"terms": [vocab[filt_i % len(vocab)]],
+                                        "path": "text"}}
+        if tb_i is not None:
+            req["boost_term"] = [{"path": "text", "boost": 2.0,
+                                  "terms": [vocab[tb_i % len(vocab)]]}]
+        if locality:
+            req["text_locality"] = True
+        return req
+
+    return st.builds(
+        assemble,
+        _tree_strategy(vocab),
+        st.integers(min_value=1, max_value=40),
+        st.integers(min_value=0, max_value=5),
+        st.none() | st.integers(min_value=0, max_value=10_000),
+        st.none() | st.integers(min_value=0, max_value=10_000),
+        st.booleans(),
+    )
+
+
+class TestFuzzDifferential:
+    @pytest.fixture(autouse=True)
+    def _bind(self, engines, vocab):
+        self.spark_index, self.ref_index = engines
+        self.vocab = vocab
+
+    def test_random_trees_match_oracle(self):
+        from veloci_spark.search import search
+
+        @settings(max_examples=N_EXAMPLES, deadline=None, derandomize=True,
+                  suppress_health_check=[HealthCheck.too_slow])
+        @given(req=_request_strategy(self.vocab))
+        def check(req):
+            got = search(self.spark_index, req)
+            want = pyref.search_request(self.ref_index, req)
+            got_pairs = [(d["doc_id"], np.float32(d["score"]))
+                         for d in got["data"]]
+            want_pairs = [(d, np.float32(s)) for d, s in want]
+            assert [p[0] for p in got_pairs] == [p[0] for p in want_pairs], req
+            for (gd, gs), (_wd, ws) in zip(got_pairs, want_pairs):
+                assert gs == ws, (req, gd, gs, ws)
+            # num_hits: the model's untruncated hit count
+            full = pyref.search_request(self.ref_index,
+                                        {k: v for k, v in req.items()
+                                         if k not in ("top", "skip")}
+                                        | {"top": 10**9})
+            assert got["num_hits"] == len(full), req
+
+        check()

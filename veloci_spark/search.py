@@ -636,8 +636,18 @@ def eval_tree(node, leaf_hits: dict):
     doc_change[1:] = gids[1:] != gids[:-1]
     dstarts = np.flatnonzero(doc_change)
     out_ids = gids[dstarts]
-    # sequential f32 sum per doc in ascending tag order (matches pyref)
-    sums = np.add.reduceat(gmax, dstarts).astype(_F32)
+    # sequential f32 sum per doc in ascending tag order. np.add.reduceat is
+    # NOT usable here: its f32 inner loop is SIMD-blocked, so the addition
+    # tree differs from the reference's strict left-to-right f32 fold
+    # (set_op.rs sum) for 3+ tags — one-ulp rank flips (found by the fuzz
+    # battery: 9.3+9.3+10.0 → 28.6 sequential vs 28.599998 reduceat).
+    # Instead add the k-th present tag of every doc in one vectorized step:
+    # strict order per doc, vectorized across docs, ≤ n_distinct_tags steps.
+    lengths = np.diff(np.append(dstarts, len(gmax)))
+    sums = np.zeros(len(dstarts), dtype=_F32)
+    for k in range(int(lengths.max())):
+        m = lengths > k
+        sums[m] = (sums[m] + gmax[dstarts[m] + k]).astype(_F32)
     counts = np.add.reduceat((gmax >= _F32(1e-5)).astype(_F32), dstarts).astype(_F32)
     return out_ids, (sums * counts * counts).astype(_F32)
 
