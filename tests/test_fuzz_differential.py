@@ -23,6 +23,8 @@ from hypothesis import strategies as st
 from veloci_spark import pyref
 
 N_EXAMPLES = int(os.environ.get("FUZZ_EXAMPLES", "15"))
+# CI runs a fixed example set; set FUZZ_RANDOM=1 for a fresh-entropy hunt
+DERANDOMIZE = "FUZZ_RANDOM" not in os.environ
 
 
 @pytest.fixture(scope="module")
@@ -33,6 +35,14 @@ def vocab(ref_index):
     # on documents and exercise the dedup/tie paths
     step = max(1, len(terms) // 40)
     return [t for t in terms[::step] if t][:40]
+
+
+@pytest.fixture(scope="module")
+def phrase_pool(ref_index):
+    # REAL adjacent pairs from the corpus so phrase boosts actually fire
+    pairs = sorted(ref_index.fields["text"].phrase_pairs)
+    step = max(1, len(pairs) // 20)
+    return pairs[::step][:20]
 
 
 def _mutate(term: str, how: int) -> str:
@@ -49,9 +59,10 @@ def _mutate(term: str, how: int) -> str:
 
 def _leaf_strategy(vocab):
     return st.builds(
-        lambda i, how, fuzzy, prefix: {
+        lambda i, how, fuzzy, prefix, j: {
             "search": {
-                "terms": [_mutate(vocab[i % len(vocab)], how)],
+                "terms": [_mutate(vocab[i % len(vocab)], how)]
+                + ([vocab[j % len(vocab)]] if j is not None else []),
                 "path": "text",
                 **({"levenshtein_distance": 1} if fuzzy else {}),
                 **({"starts_with": True} if prefix else {}),
@@ -61,6 +72,7 @@ def _leaf_strategy(vocab):
         st.integers(min_value=0, max_value=3),
         st.booleans(),
         st.booleans(),
+        st.none() | st.integers(min_value=0, max_value=10_000),
     )
 
 
@@ -83,8 +95,8 @@ def engines(spark_index, ref_index):
     return spark_index, ref_index
 
 
-def _request_strategy(vocab):
-    def assemble(tree, top, skip, filt_i, tb_i, locality):
+def _request_strategy(vocab, phrase_pool):
+    def assemble(tree, top, skip, filt_i, tb_i, locality, pb_i):
         req = {**tree, "top": top, **({"skip": skip} if skip else {})}
         if filt_i is not None:
             req["filter"] = {"search": {"terms": [vocab[filt_i % len(vocab)]],
@@ -94,6 +106,11 @@ def _request_strategy(vocab):
                                   "terms": [vocab[tb_i % len(vocab)]]}]
         if locality:
             req["text_locality"] = True
+        if pb_i is not None and phrase_pool:
+            a, b = phrase_pool[pb_i % len(phrase_pool)]
+            req["phrase_boosts"] = [{"path": "text",
+                                     "search1": {"terms": [a], "path": "text"},
+                                     "search2": {"terms": [b], "path": "text"}}]
         return req
 
     return st.builds(
@@ -104,21 +121,24 @@ def _request_strategy(vocab):
         st.none() | st.integers(min_value=0, max_value=10_000),
         st.none() | st.integers(min_value=0, max_value=10_000),
         st.booleans(),
+        st.none() | st.integers(min_value=0, max_value=10_000),
     )
 
 
 class TestFuzzDifferential:
     @pytest.fixture(autouse=True)
-    def _bind(self, engines, vocab):
+    def _bind(self, engines, vocab, phrase_pool):
         self.spark_index, self.ref_index = engines
         self.vocab = vocab
+        self.phrase_pool = phrase_pool
 
     def test_random_trees_match_oracle(self):
         from veloci_spark.search import search
 
-        @settings(max_examples=N_EXAMPLES, deadline=None, derandomize=True,
+        @settings(max_examples=N_EXAMPLES, deadline=None,
+                  derandomize=DERANDOMIZE,
                   suppress_health_check=[HealthCheck.too_slow])
-        @given(req=_request_strategy(self.vocab))
+        @given(req=_request_strategy(self.vocab, self.phrase_pool))
         def check(req):
             got = search(self.spark_index, req)
             want = pyref.search_request(self.ref_index, req)
