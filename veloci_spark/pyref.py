@@ -406,8 +406,14 @@ def search_request(index: "RefIndex", request: dict):
                 count[d] += 1
         for d, n in count.items():
             if n >= 2 and d in hits:
+                # the reference computes the factor FIRST ((2·n)·n, f32) and
+                # multiplies the score once (boost.rs:70 Hit::new(id, 2.*n*n);
+                # apply_boost_from_iter boost.rs:210 hit.score *= b.score) —
+                # chaining ((s·2)·n)·n rounds differently by one ulp (caught
+                # by the fuzz battery on a nested-OR + locality request)
                 nf = np.float32(n)
-                hits[d] = np.float32(hits[d] * np.float32(2.0) * nf * nf)
+                factor = np.float32(np.float32(2.0) * nf * nf)
+                hits[d] = np.float32(hits[d] * factor)
 
     # anchor boost-by-field (Q13) — applied after kernel-side boosts, same
     # order as the engine (_apply_anchor_boosts runs post-kernel)
