@@ -4,10 +4,13 @@ must agree EXACTLY — same doc order, same float32 scores, same num_hits.
 
 The fixed REQUESTS battery in test_search_engine.py covers the reference's
 query shapes (FIXTURES.md §3); this file walks the shape space around them:
-arbitrary OR/AND nestings over exact / fuzzy / prefix leaves with random
-top/skip truncation. Terms are drawn from the corpus vocabulary plus
-mutations (typos for the fuzzy path, prefixes for starts_with, unknown
-terms for the empty-result path).
+arbitrary OR/AND nestings over exact / fuzzy / prefix / regex leaves —
+with per-leaf scalar boosts, per-leaf match pruning (top), and
+case-sensitive (ignore_case=false) variants — under random top/skip
+truncation. Terms are drawn from the corpus vocabulary plus mutations
+(typos for the fuzzy path, prefixes for starts_with, case flips for the
+sensitivity path, unknown terms for the empty-result path); regex leaves
+mutate escaped corpus terms (wildcard char, alternation, char class).
 
 Runs derandomized (fixed example set) so the suite stays deterministic;
 raise FUZZ_EXAMPLES for a deeper local sweep.
@@ -47,32 +50,72 @@ def phrase_pool(ref_index):
 
 def _mutate(term: str, how: int) -> str:
     """Deterministic term mutations: 0 = as-is, 1 = typo (fuzzy should still
-    match at d=1), 2 = prefix (starts_with should match), 3 = unknown."""
+    match at d=1), 2 = prefix (starts_with should match), 3 = unknown,
+    4 = case flip (matches only under the default ignore_case)."""
     if how == 1 and len(term) >= 3:
         return term[0] + "x" + term[2:]
     if how == 2 and len(term) >= 4:
         return term[: len(term) - 2]
     if how == 3:
         return term + "zzq"
+    if how == 4:
+        return term[0].swapcase() + term[1:]
     return term
 
 
+def _regex_pattern(term: str, how: int, other: str) -> str:
+    """Deterministic regex mutations: 0 = escaped literal, 1 = one char
+    wildcarded, 2 = alternation with another corpus term, 3 = char-class
+    tail (may legitimately match nothing)."""
+    import re as _re
+
+    if how == 1 and len(term) >= 3:
+        return _re.escape(term[:1]) + "." + _re.escape(term[2:])
+    if how == 2:
+        return _re.escape(term) + "|" + _re.escape(other)
+    if how == 3 and len(term) >= 3:
+        return _re.escape(term[:-1]) + "[a-z]"
+    return _re.escape(term)
+
+
 def _leaf_strategy(vocab):
-    return st.builds(
-        lambda i, how, fuzzy, prefix, j: {
-            "search": {
-                "terms": [_mutate(vocab[i % len(vocab)], how)]
+    def build(i, how, fuzzy, prefix, j, is_rx, boost_i, ptop, csense):
+        term = vocab[i % len(vocab)]
+        if is_rx:
+            leaf = {
+                "terms": [_regex_pattern(
+                    term, how, vocab[(j or 1) % len(vocab)])],
+                "path": "text",
+                "is_regex": True,
+                **({"starts_with": True} if prefix else {}),
+            }
+        else:
+            leaf = {
+                "terms": [_mutate(term, how)]
                 + ([vocab[j % len(vocab)]] if j is not None else []),
                 "path": "text",
                 **({"levenshtein_distance": 1} if fuzzy else {}),
                 **({"starts_with": True} if prefix else {}),
             }
-        },
+        if csense:
+            leaf["ignore_case"] = False
+        if boost_i is not None:  # per-leg scalar boost (Q14 leg form)
+            leaf["boost"] = (0.5, 1.5, 2.0, 3.0)[boost_i % 4]
+        if ptop is not None:  # per-leaf match pruning (Q5)
+            leaf["top"] = ptop
+        return {"search": leaf}
+
+    return st.builds(
+        build,
         st.integers(min_value=0, max_value=10_000),
-        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=4),
         st.booleans(),
         st.booleans(),
         st.none() | st.integers(min_value=0, max_value=10_000),
+        st.booleans(),
+        st.none() | st.integers(min_value=0, max_value=3),
+        st.none() | st.integers(min_value=1, max_value=8),
+        st.booleans(),
     )
 
 
