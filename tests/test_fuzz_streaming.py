@@ -2,7 +2,8 @@
 as a PURE FILTER. For any request, a generational index with accumulated
 deletes returns exactly the clean twin's untruncated ranking minus the
 deleted docs (same order, same f32 scores), num_hits is the exact live
-count, and num_hits_exact stays True. Stats are per-generation by design
+count, num_hits_exact stays True, and facet counts equal the clean twin's
+per-hit values minus the deleted docs' contributions. Stats are per-generation by design
 (compaction restores global stats — covered in test_streaming), so the
 clean twin — NOT a fresh single build — is the correct oracle here.
 
@@ -99,8 +100,16 @@ def test_deletes_are_a_pure_filter(spark, twin_roots):
                     tree = _rand_tree(rng, vocab)
                     top = int(rng.randint(1, 30))
                     skip = int(rng.randint(0, 4))
-                    got = mi_del.search({**tree, "top": top, "skip": skip})
-                    full = mi_clean.search({**tree, "top": 10**6})
+                    req = {**tree, "top": top, "skip": skip}
+                    # one request per step also checks facets: counts over
+                    # the tombstoned index must equal the clean twin's
+                    # per-hit values minus the deleted docs' contributions
+                    with_facets = _q == 0
+                    if with_facets:
+                        req["facets"] = [{"field": "lang"}]
+                    got = mi_del.search(req)
+                    full = mi_clean.search({**tree, "top": 10**6,
+                                            "select": ["lang"]})
                     want = [(d["doc_id"], np.float32(d["score"]))
                             for d in full["data"]
                             if d["doc_id"] not in deleted]
@@ -110,6 +119,16 @@ def test_deletes_are_a_pure_filter(spark, twin_roots):
                     assert got_pairs == exp, (tree, top, skip, sorted(deleted))
                     assert got["num_hits"] == len(want), (tree, sorted(deleted))
                     assert got["num_hits_exact"] is True
+                    if with_facets:
+                        counts: dict[str, int] = {}
+                        for d in full["data"]:
+                            if d["doc_id"] not in deleted:
+                                v = d["doc"]["lang"]
+                                counts[v] = counts.get(v, 0) + 1
+                        exp_facets = sorted(counts.items(),
+                                            key=lambda kv: (-kv[1], kv[0]))[:10]
+                        assert got["facets"]["lang"] == exp_facets, (
+                            tree, sorted(deleted))
             finally:
                 mi_del.close()
     finally:
