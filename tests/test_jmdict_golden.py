@@ -604,11 +604,29 @@ class TestPerLegBoost:
                             {"path": "rank_", "boost_fun": "Add"}]}},
              "top": 10},
         ]:
-            got = search(idx, req)
+            got = search(idx, {**req, "explain_hits": True})
             want = pyref.search_request(ref, req)
             assert [h["doc_id"] for h in got["data"]] == [d_ for d_, _ in want]
             for h, (_d, s) in zip(got["data"], want):
                 assert np.float32(h["score"]) == np.float32(s), req
+                # explain derives the composed per-leg boost path too
+                # (flat columns; nested sibling-subfield boosts still refuse)
+                steps = h["explain"]
+                assert np.float32(steps[-1]["score"]) == np.float32(h["score"]), (
+                    req, steps)
+            # at least one hit per request matched a boosted leg
+            assert any(st["step"] == "leg_boost"
+                       for h in got["data"] for st in h["explain"]), req
+
+    def test_explain_refuses_nested_per_leg_boost(self, jm_index):
+        from veloci_spark.explain import explain_hits
+
+        with pytest.raises(NotImplementedError):
+            explain_hits(jm_index, {"search": {
+                "terms": ["awesome"], "path": "field1[].text",
+                "options": {"boost": [{"path": "field1[].rank",
+                                       "boost_fun": "Log10", "param": 1}]}}},
+                [0])
 
 
 class TestBoostRanking:

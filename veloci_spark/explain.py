@@ -100,7 +100,8 @@ def _doc_leaf_entries(index, leaves, doc_ids):
     return out
 
 
-def _explain_node(node, doc_id, entries, steps):
+def _explain_node(node, doc_id, entries, steps, leaf_map=None,
+                  leg_boost_vals=None):
     """Walk the plan tree for one doc, appending Explain steps; returns the
     node's f32 score, or None when the doc misses the subtree."""
     from veloci_spark.search import _tree_tag
@@ -116,12 +117,38 @@ def _explain_node(node, doc_id, entries, steps):
         best = _F32(max(_F32(f) for _t, _ts, _s, f in ents))
         # reference MaxTokenToTextId: leaf value = max over its term rows
         steps.append({"step": "max_token_to_text", "score": float(best)})
+        leaf = (leaf_map or {}).get(node["leaf_id"])
+        if leaf is not None and leaf.field_boosts:
+            # per-leg options.boost (composed path): applied to the leg's
+            # hits AFTER the leaf max and BEFORE the leaf's scalar boost /
+            # the tree combine (_composed_search_hits → _apply_anchor_boosts
+            # per leg → eval_tree). Same spec order, same f32 kernels.
+            from veloci_spark.scoring import (boost_value_score,
+                                              eval_boost_expression)
+
+            for spec in leaf.field_boosts:
+                v = (leg_boost_vals or {}).get((doc_id, spec["path"]),
+                                               float("nan"))
+                s_arr = np.array([best], dtype=_F32)
+                v_arr = np.array([v], dtype=np.float64)
+                if spec.get("expression") is not None:
+                    nb = eval_boost_expression(spec["expression"], s_arr,
+                                               v_arr)[0]
+                else:
+                    nb = boost_value_score(s_arr, v_arr,
+                                           spec.get("boost_fun", "Log10"),
+                                           float(spec.get("param", 0.0)))[0]
+                best = _F32(nb)
+                steps.append({"step": "leg_boost", "path": spec["path"],
+                              "value": None if np.isnan(v) else float(v),
+                              "score": float(best)})
         if node.get("boost") is not None:
             best = _F32(best * _F32(node["boost"]))
             steps.append({"step": "boost", "factor": float(node["boost"]),
                           "score": float(best)})
         return best
-    kids = [(c, _explain_node(c, doc_id, entries, steps)) for c in node["children"]]
+    kids = [(c, _explain_node(c, doc_id, entries, steps, leaf_map,
+                              leg_boost_vals)) for c in node["children"]]
     if len(kids) == 1:
         return kids[0][1]
     if node["op"] == "and":
@@ -160,11 +187,29 @@ def explain_hits(index, request, doc_ids: list[int]) -> dict[int, list[dict]]:
 
     (tree, _filter_tree, leaves, scored_ids, phrase_specs,
      term_boost_leaves) = _collect_leaves(index, request)
-    if any(l.field_boosts for l in leaves):
-        # per-leg options.boost applies BELOW the combine; this derivation
-        # would silently reproduce the unboosted combine — refuse instead
+    boost_cols = {spec["path"] for l in leaves
+                  for spec in (l.field_boosts or [])}
+    if any(c in index.values for c in boost_cols):
+        # the nested sibling-subfield per-leg boost derives from per-VALUE
+        # position joins (_apply_value_boost); deriving it here would
+        # silently reproduce the flat combine — refuse instead
         raise NotImplementedError(
-            "explain_hits does not derive per-leg options.boost scores")
+            "explain_hits does not derive per-leg nested "
+            "(sibling-subfield) boosts")
+    # flat per-leg boost values for the explained docs: one bounded collect
+    leg_boost_vals: dict[tuple[int, str], float] = {}
+    if boost_cols:
+        cols = sorted(boost_cols)
+        rows = (
+            index.docs.where(F.col("doc_id").isin([int(d) for d in doc_ids]))
+            .select("doc_id",
+                    *[F.col(c).cast("double").alias(f"_b{i}")
+                      for i, c in enumerate(cols)])
+            .toPandas()
+        )
+        for _, r in rows.iterrows():
+            for i, c in enumerate(cols):
+                leg_boost_vals[(int(r["doc_id"]), c)] = float(r[f"_b{i}"])
     entries = _doc_leaf_entries(
         index, [l for l in leaves if l.leaf_id in scored_ids
                 or l.leaf_id in {lid for lid, _ in term_boost_leaves}],
@@ -188,10 +233,12 @@ def explain_hits(index, request, doc_ids: list[int]) -> dict[int, list[dict]]:
             for d in hit["doc_id"]:
                 phrase_docs.setdefault(int(d), set()).add(i)
 
+    leaf_map = {l.leaf_id: l for l in leaves}
     out: dict[int, list[dict]] = {}
     for d in doc_ids:
         steps: list[dict] = []
-        score = _explain_node(tree, int(d), entries, steps)
+        score = _explain_node(tree, int(d), entries, steps, leaf_map,
+                              leg_boost_vals)
         if score is None:
             out[int(d)] = steps
             continue
