@@ -437,3 +437,114 @@ class TestGeneratorOptions:
             "filter": {"search": {"terms": ["de"], "path": "lang"}},
             "top": 20})
         assert [d["doc_id"] for d in got["data"]] == [d for d, _s in want]
+
+
+def _ast_str(n):
+    """Render an AST the way the reference Debug-formats UserAST
+    (ast.rs:44-56): quoted phrases, `attr:` prefixes, parenthesized
+    right-leaning binary clauses."""
+    if n is None:
+        return "None"
+    if "term" in n:
+        t = n["term"]
+        s = f'"{t.text}"' if not t.field else f'{t.field}:"{t.text}"'
+        if t.levenshtein is not None:
+            s += f"~{t.levenshtein}"
+        return s
+    op = "or" if "or" in n else "and"
+    return "(" + f" {op.upper()} ".join(_ast_str(c) for c in n[op]) + ")"
+
+
+class TestReferenceParserGoldens:
+    """Token-exact port of the reference parser test battery
+    (/root/reference/query_parser/src/parser.rs:199-500 + lexer.rs tests):
+    grouping, associativity, attributes (inline / quoted / parenthesized
+    block), levenshtein suffix, stray parens, unicode — and every input the
+    reference rejects (Err or an unimplemented-arm panic) raises ParseError.
+    """
+
+    GOLDENS = [
+        ("hallo", '"hallo"'),
+        ('"cool")', '"cool"'),                       # test_phrases
+        ('"cooles teil")', '"cooles teil"'),
+        ("(cool)", '"cool"'),                        # test_parentheses
+        ("((((((cool))))))", '"cool"'),
+        ("((((((cool)))))) AND ((((((cool))))))", '("cool" AND "cool")'),
+        ("(super AND cool) OR fancy", '(("super" AND "cool") OR "fancy")'),
+        ("(super AND cool) OR (fancy)", '(("super" AND "cool") OR "fancy")'),
+        ("((super AND cool)) OR (fancy)", '(("super" AND "cool") OR "fancy")'),
+        ("super AND cool OR fancy",                   # test_and_or: no
+         '("super" AND ("cool" OR "fancy"))'),        # precedence, right-assoc
+        ("super OR cool AND fancy", '("super" OR ("cool" AND "fancy"))'),
+        ("super cool OR fancy",                       # test_implicit_or
+         '("super" OR ("cool" OR "fancy"))'),
+        ("super cool", '("super" OR "cool")'),
+        ("fancy~1", '"fancy"~1'),                     # test_levenshtein
+        ("super cool OR fancy~1", '("super" OR ("cool" OR "fancy"~1))'),
+        ("field:fancy~1", 'field:"fancy"~1'),         # attribute+levenshtein
+        ('"field":fancy unlimited',                   # quoted attribute
+         '(field:"fancy" OR "unlimited")'),
+        ('"field""cool"', '("field" OR "cool")'),     # test_quote_on_quote
+        ("field:fancy", 'field:"fancy"'),             # test_attribute_simple
+        ("freestyle myattr:(super cool)",             # attribute_after_text
+         '("freestyle" OR (myattr:"super" OR myattr:"cool"))'),
+        ("field:(fancy unlimited)",                   # attributed block
+         '(field:"fancy" OR field:"unlimited")'),
+        ("a AND  b", '("a" AND "b")'),                # test_multi_spaces
+        ("die drei ???", '("die" OR ("drei" OR "???"))'),  # special chars
+        ("a+", '"a+"'),
+        ("a AND b AND c", '("a" AND ("b" AND "c"))'),  # not flattened
+        ("a OR b OR c", '("a" OR ("b" OR "c"))'),
+        ("a:b OR c", '(a:"b" OR "c")'),
+        ("食べる AND b", '("食べる" AND "b")'),
+    ]
+
+    @pytest.mark.parametrize("q,want", GOLDENS, ids=[q for q, _ in GOLDENS])
+    def test_golden(self, q, want):
+        from veloci_spark.query import parse_query
+
+        assert _ast_str(parse_query(q)) == want
+
+    @pytest.mark.parametrize("q", [
+        "field:what:ok",   # test_invalid: attribute after attribute
+        "fancy~",          # test_levenshtein: dangling tilde
+        "fancy~x",         # ExpectedNumber
+        "fancy:",          # test_attribute_errors: dangling attr
+        "a (b)",           # parser.rs:127 unimplemented arm
+    ])
+    def test_reference_rejects(self, q):
+        from veloci_spark.query import ParseError, parse_query
+
+        with pytest.raises(ParseError):
+            parse_query(q)
+
+    def test_options_disable_features(self):
+        # test_parentheses_disabled / test_levenshtein_disabled /
+        # test_disabled_attribute_simple
+        from veloci_spark.query import QueryParserOptions, parse_query
+
+        def txt(q, **kw):
+            return parse_query(q, QueryParserOptions(**kw))["term"].text
+
+        assert txt("(cool)", no_parentheses=True) == "(cool)"
+        assert txt("fancy~1", no_levensthein=True) == "fancy~1"
+        assert txt("field:fancy", no_attributes=True) == "field:fancy"
+
+    def test_and_requires_surrounding_whitespace(self):
+        # lexer.rs:114-127: AND/OR need preceding whitespace and a trailing
+        # space — `coolAND AND (` lexes as literal, operator, paren
+        from veloci_spark.query import _lex, _Attr, _RawTerm
+
+        toks = _lex("coolAND AND (")
+        assert toks[0] == _RawTerm("coolAND")
+        assert toks[1] == "AND"
+        assert toks[2] == "("
+        # trailing OR with no space after is a literal
+        assert _lex("a OR")[-1] == _RawTerm("OR")
+
+    def test_lexer_attribute_tokens(self):
+        # lexer.rs:318-320
+        from veloci_spark.query import _lex, _Attr, _RawTerm
+
+        assert _lex("cool:nice") == [_Attr("cool"), _RawTerm("nice")]
+        assert _lex('"cool":nice') == [_Attr("cool"), _RawTerm("nice")]

@@ -94,47 +94,113 @@ class QueryParserOptions:
 
 _DEFAULT_PARSER_OPTIONS = QueryParserOptions()
 
-_TOKEN_RE = re.compile(
-    r'\s*(?:(?P<lparen>\()|(?P<rparen>\))|(?P<quoted>"(?:[^"\\]|\\.)*")'
-    r"|(?P<word>[^\s()]+))"
-)
 
-# no_parentheses: ( and ) are ordinary word characters
-_TOKEN_RE_NOPAREN = re.compile(
-    r'\s*(?:(?P<quoted>"(?:[^"\\]|\\.)*")|(?P<word>\S+))'
-)
+class ParseError(ValueError):
+    """Reference ``ParseError`` (query_parser/src/error.rs): raised where the
+    reference parser returns Err — trailing/lone ``~``, a non-number after
+    ``~``, a dangling ``attr:``, an attribute after an attribute
+    (``field:what:ok``) — and where its unreachable match arms ``panic!``
+    (an operand directly followed by ``(`` or ``~``)."""
+
+
+@dataclass
+class _Attr:
+    """AttributeLiteral token: a (quoted or bare) literal immediately
+    followed by ``:`` (lexer.rs:147-152,181-187)."""
+
+    name: str
+
+
+@dataclass
+class _RawTerm:
+    """Literal token, text verbatim (wildcard/levenshtein interpretation
+    happens in the parser, like the reference generator)."""
+
+    text: str
+    quoted: bool = False
 
 
 def _lex(q: str, options: QueryParserOptions = _DEFAULT_PARSER_OPTIONS) -> list:
-    out = []
-    pos = 0
-    tok_re = _TOKEN_RE_NOPAREN if options.no_parentheses else _TOKEN_RE
-    while pos < len(q):
-        m = tok_re.match(q, pos)
-        if not m or m.end() == pos:
+    """Tokenizer mirroring the reference lexer (query_parser/src/lexer.rs):
+
+    * ``(`` ``)`` ``~`` are single-char tokens; ``:`` is a separator that
+      turns the *preceding* literal into an AttributeLiteral — each gated by
+      its QueryParserOptions flag (is_seperator, lexer.rs:35-41).
+    * ``AND`` / ``OR`` are operators only when PRECEDED by whitespace (not
+      start-of-string) and FOLLOWED by a literal space (lexer.rs:114-127);
+      anywhere else they lex as ordinary literals.
+    * ``"…"`` quotes shield separators; a closing quote immediately followed
+      by ``:`` is an attribute (``"field":x``, lexer.rs:131-158). Escaped
+      ``\\"`` inside quotes is a small superset of the reference (which has
+      no escapes).
+    """
+    out: list = []
+    i, n = 0, len(q)
+
+    def is_sep(c: str) -> bool:
+        if c in "()" and not options.no_parentheses:
+            return True
+        if c == "~" and not options.no_levensthein:
+            return True
+        if c == ":" and not options.no_attributes:
+            return True
+        return False
+
+    while i < n:
+        while i < n and q[i].isspace():
+            i += 1
+        if i >= n:
             break
-        pos = m.end()
-        if not options.no_parentheses and m.group("lparen"):
-            out.append("(")
-        elif not options.no_parentheses and m.group("rparen"):
-            out.append(")")
-        elif m.group("quoted") is not None:
-            body = m.group("quoted")[1:-1].replace('\\"', '"')
-            # wildcards inside quotes still pattern-match (the reference's
-            # token_code_phrase_pattern case: quoting shields the PARSER,
-            # not the wildcard expansion)
-            if "*" in body:
-                body, sw, rx = _apply_wildcards(body)
-                out.append(Term(body, quoted=True, starts_with=sw,
-                                is_regex=rx))
+        prev_ws = i > 0 and q[i - 1].isspace()
+        if prev_ws and q.startswith("AND ", i):
+            out.append("AND")
+            i += 3
+            continue
+        if prev_ws and q.startswith("OR ", i):
+            out.append("OR")
+            i += 2
+            continue
+        c = q[i]
+        if c == '"':
+            j = i + 1
+            body: list = []
+            while j < n:
+                if q[j] == "\\" and j + 1 < n and q[j + 1] == '"':
+                    body.append('"')
+                    j += 2
+                    continue
+                if q[j] == '"':
+                    break
+                body.append(q[j])
+                j += 1
+            text = "".join(body)
+            i = j + 1 if j < n else n
+            if i < n and q[i] == ":" and not options.no_attributes:
+                out.append(_Attr(text))
+                i += 1
             else:
-                out.append(Term(body, quoted=True))
+                out.append(_RawTerm(text, quoted=True))
+            continue
+        if c in "()" and not options.no_parentheses:
+            out.append(c)
+            i += 1
+            continue
+        if c == "~" and not options.no_levensthein:
+            out.append("~")
+            i += 1
+            continue
+        # literal: first char unconditionally, then until whitespace/sep
+        # (lexer.rs:176-181)
+        j = i + 1
+        while j < n and not q[j].isspace() and not is_sep(q[j]):
+            j += 1
+        text = q[i:j]
+        i = j
+        if i < n and q[i] == ":" and not options.no_attributes:
+            out.append(_Attr(text))
+            i += 1
         else:
-            w = m.group("word")
-            if w in ("AND", "OR"):
-                out.append(w)
-            else:
-                out.append(_parse_word(w, options))
+            out.append(_RawTerm(text))
     return out
 
 
@@ -173,10 +239,30 @@ def _parse_word(w: str,
                 is_regex=is_regex)
 
 
+def _apply_attr(node, name: str):
+    """Reference ``UserAST::Attributed`` applied onto Term fields: the
+    attribute covers its subtree, innermost attribute wins (ast.rs:103-118
+    map_ast threads the CLOSEST enclosing attr) — so only terms without a
+    field yet are stamped."""
+    if node is None:
+        return None
+    if "term" in node:
+        if node["term"].field is None:
+            node["term"].field = name
+        return node
+    op = "or" if "or" in node else "and"
+    node[op] = [_apply_attr(c, name) for c in node[op]]
+    return node
+
+
 class _Parser:
-    """Right-associative, precedence-free boolean parser: a sequence of
-    operands is folded right-to-left with the operator between each pair
-    (implicit operator = OR)."""
+    """Recursive-descent twin of the reference parser
+    (query_parser/src/parser.rs:135-184 ``_parse`` +
+    :96-133 ``parse_sub_expression``): right-associative, precedence-free;
+    implicit operator between adjacent operands = OR; an attribute covers
+    the next literal, or — before ``(`` — the whole rest of the parse
+    (parser.rs:139-160); stray ``)`` ends the current level and surplus
+    trailing tokens are ignored (parser.rs:128, test_phrases)."""
 
     def __init__(self, tokens: list):
         self.toks = tokens
@@ -186,40 +272,83 @@ class _Parser:
         return self.toks[self.i] if self.i < len(self.toks) else None
 
     def parse(self):
-        node = self.operand()
-        if node is None:
+        tok = self.peek()
+        if tok is None:
             return None
+        self.i += 1
+        if isinstance(tok, _Attr):
+            nxt = self.peek()
+            if nxt == "(":
+                # attribute over the parenthesized block — and, like the
+                # reference (parser.rs:142-147 wraps the whole _parse()),
+                # over everything the rest of this level parses
+                return _apply_attr(self.parse(), tok.name)
+            if isinstance(nxt, _RawTerm):
+                self.i += 1
+                term = self._make_term(nxt)
+                if term.field is None:
+                    term.field = tok.name
+                return self.sub_expression({"term": term})
+            raise ParseError(
+                "only token or ( allowed after attribute ('attr:') ")
+        if isinstance(tok, _RawTerm):
+            return self.sub_expression({"term": self._make_term(tok)})
+        if tok == "(":
+            node = self.parse()
+            if self.peek() != ")":
+                raise ParseError("expected closing parenthesis")
+            self.i += 1
+            return self.sub_expression(node)
+        # ")" / "~" / operator in operand position: the reference's
+        # unreachable/unimplemented arms (parser.rs:173-181)
+        raise ParseError(f"unexpected token {tok!r}")
+
+    def sub_expression(self, curr):
         nxt = self.peek()
         if nxt is None or nxt == ")":
-            return node
-        op = "or"
-        if nxt in ("AND", "OR"):
-            op = nxt.lower()
+            return curr
+        if isinstance(nxt, (_RawTerm, _Attr)):
+            return {"or": [curr, self.parse()]}  # implicit OR
+        if nxt == "OR":
             self.i += 1
-        rest = self.parse()  # right-associative
-        if rest is None:
-            return node
-        return {op: [node, rest]}
+            return {"or": [curr, self.parse()]}
+        if nxt == "AND":
+            self.i += 1
+            return {"and": [curr, self.parse()]}
+        # "(" or "~" directly after an operand: reference parser.rs:127
+        # unimplemented arm
+        raise ParseError(f"unexpected token {nxt!r} after operand")
 
-    def operand(self):
-        tok = self.peek()
-        if tok is None or tok == ")":
-            return None
-        if tok == "(":
+    def _make_term(self, rt: _RawTerm) -> Term:
+        """Literal (+ optional ``~N``) → Term: levenshtein from the token
+        stream (parser.rs:78-94 parse_user_filter: the number must be a
+        plain u8 literal), then wildcard interpretation on the raw text
+        (regex terms drop fuzziness; quoting shields the parser only)."""
+        lev = None
+        if self.peek() == "~":
             self.i += 1
-            node = self.parse()
-            if self.peek() == ")":
-                self.i += 1
-            return node
-        if tok in ("AND", "OR"):  # stray operator → treat as term
+            nxt = self.peek()
+            if (not isinstance(nxt, _RawTerm) or nxt.quoted
+                    or not re.fullmatch(r"[0-9]+", nxt.text)
+                    or int(nxt.text) > 255):
+                raise ParseError(
+                    "Expecting a levenshtein number after a '~' ")
             self.i += 1
-            return {"term": Term(tok.lower())}
-        self.i += 1
-        return {"term": tok}
+            lev = int(nxt.text)
+        text, starts_with, is_regex = (
+            _apply_wildcards(rt.text) if "*" in rt.text
+            else (rt.text, False, False))
+        if is_regex:
+            lev = None
+        return Term(text, levenshtein=lev, starts_with=starts_with,
+                    quoted=rt.quoted, is_regex=is_regex)
 
 
 def parse_query(q: str, options: QueryParserOptions | None = None):
-    """Query string → AST of {"or"/"and": [..]} / {"term": Term} nodes."""
+    """Query string → AST of {"or"/"and": [..]} / {"term": Term} nodes.
+    Raises :class:`ParseError` exactly where the reference parser errors
+    (dangling ``~`` / ``attr:``, chained attributes, operand-operand
+    adjacency through ``(``)."""
     return _Parser(_lex(q, options or _DEFAULT_PARSER_OPTIONS)).parse()
 
 
