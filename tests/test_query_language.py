@@ -90,6 +90,15 @@ class TestGenerator:
         assert pb[0]["search1"]["terms"] == ["die"]
         assert pb[0]["search2"]["terms"] == ["erbin"]
 
+    def test_pairs_chain_through_attributes(self):
+        # reference _get_phrase_pairs (ast.rs:127-147): last_term survives
+        # entering an attribute, so attributed terms pair by TEXT
+        req = query_to_request("greg text:tagebuch", search_fields=["text"],
+                               remove_stopwords=False)
+        pb = req["phrase_boosts"]
+        assert [(p["search1"]["terms"][0], p["search2"]["terms"][0])
+                for p in pb] == [("greg", "tagebuch")]
+
     def test_stopword_removal(self):
         req = query_to_request("die erbin", search_fields=["text"])
         # "die" is a DE stopword → single leaf remains

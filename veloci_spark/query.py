@@ -24,7 +24,11 @@ Generator defaults (/root/reference/src/query_generator.rs:85-132,212-223):
   query-term tag, so the OR n² formula counts the term once)
 * consecutive term pairs become phrase boosts on every tokenized field
 * stopword removal: the reference removes a term when its lowercased text is
-  in any requested language list (query_parser_to_veloci_request.rs:113-127).
+  in any requested language list (query_parser_to_veloci_request.rs:113-127,
+  the unit-tested semantics at :183-199 — note the integration call at :12
+  DISCARDS the filtered ast, so the reference binary never actually strips;
+  we implement the evident intent, additionally shielding quoted and
+  field-attributed terms, which express explicit user intent).
   The lists below reproduce the reference's shipped lists
   (stopword_lists/{en,de}, loaded lowercased by
   /root/reference/src/search/stopwords.rs:1-23) word for word — 100 EN / 65
@@ -535,9 +539,17 @@ def query_to_request(q: str, *, search_fields: list[str],
     _collect_terms(ast, terms)
     pfields = phrase_fields if phrase_fields is not None else search_fields
     phrase_boosts = []
+    # pairs are TEXT-only and chain THROUGH attributed terms: the reference
+    # walk (ast.rs:127-147 _get_phrase_pairs) keeps last_term when entering
+    # an attribute from unattributed context or the same attribute, so
+    # `x myattr:y`, `myattr:y z` and even `a:x b:y` all pair — it resets
+    # only on a nested different-attribute transition, which the flat
+    # field-stamped AST here cannot even express. Quoted/regex leaves break
+    # the chain (our documented divergence: the reference has no quoted
+    # flag downstream and would thread the whole phrase text).
     for a, b in zip(terms, terms[1:]):
-        if (a.field is None and b.field is None and not a.quoted
-                and not b.quoted and not a.is_regex and not b.is_regex):
+        if (not a.quoted and not b.quoted
+                and not a.is_regex and not b.is_regex):
             for f in pfields:
                 phrase_boosts.append({
                     "path": f,
