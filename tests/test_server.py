@@ -70,3 +70,64 @@ def test_idtree_and_multi_suggest(spark_index, corpus):
         assert scores == sorted(scores, reverse=True)
     finally:
         httpd.shutdown()
+
+
+def test_reference_route_parity(spark_index, corpus):
+    """The r5 route additions: /version, /search_query_params (generator
+    params incl. explicit levenshtein, stopword lists, phrase_pairs opt-in),
+    POST /suggest, POST /highlight, /inspect/<field>/<id> — the reference's
+    remaining Rocket routes (rocket_server.rs:168,326,565,576,607)."""
+    from veloci_spark.server import serve
+
+    httpd = serve({"webtext": spark_index}, port=0, background=True)
+    port = httpd.server_address[1]
+    root = f"http://127.0.0.1:{port}"
+    base = f"{root}/webtext"
+    try:
+        assert _get(f"{root}/version").startswith("0.7")
+
+        # generator params: same hits as the GET query-string route, but
+        # reference defaults (no stopword stripping unless lists given)
+        res = _post(f"{base}/search_query_params",
+                    {"search_term": "urge", "top": 5})
+        get_res = _get(f"{base}/search?query=urge&top=5")
+        assert [d["doc_id"] for d in res["data"]] == \
+            [d["doc_id"] for d in get_res["data"]]
+
+        # explicit levenshtein=0 must kill the auto-fuzz: "urgx" matches
+        # with auto (d=1) but not with levenshtein=0
+        fuzzy = _post(f"{base}/search_query_params",
+                      {"search_term": "urgx", "top": 5})
+        exact = _post(f"{base}/search_query_params",
+                      {"search_term": "urgx", "top": 5, "levenshtein": 0})
+        assert fuzzy["num_hits"] >= 1 and exact["num_hits"] == 0
+
+        # stopword_lists strip "will"; custom stopwords strip chosen terms
+        r1 = _post(f"{base}/search_query_params",
+                   {"search_term": "will urge", "stopword_lists": ["en"],
+                    "top": 5})
+        r2 = _post(f"{base}/search_query_params",
+                   {"search_term": "will urge", "stopwords": ["will"],
+                    "top": 5})
+        r3 = _post(f"{base}/search_query_params",
+                   {"search_term": "urge", "top": 5})
+        assert [d["doc_id"] for d in r1["data"]] == \
+            [d["doc_id"] for d in r2["data"]] == \
+            [d["doc_id"] for d in r3["data"]]
+
+        # POST /suggest twin
+        res = _post(f"{base}/suggest", {"path": "text", "terms": ["majes"]})
+        assert any(s.startswith("majes") for s, _ in res["suggestions"])
+
+        # POST /highlight: ranked highlighted stored texts
+        out = _post(f"{base}/highlight", {"path": "text", "terms": ["urge"],
+                                          "top": 3})
+        assert out and all("<b>" in text for text, _s, _d in out)
+        assert all(s > 0 for _t, s, _d in out)
+
+        # /inspect/<field>/<doc_id>: the raw indexed value
+        d0 = out[0][2]
+        vals = _get(f"{base}/inspect/text/{d0}")
+        assert vals == [corpus[d0]["text"]]
+    finally:
+        httpd.shutdown()

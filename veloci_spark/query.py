@@ -434,6 +434,7 @@ def query_to_request(q: str, *, search_fields: list[str],
                      levenshtein_auto_limit: int = 1,
                      remove_stopwords: bool = True,
                      stopword_lists: list[str] | None = None,
+                     stopwords: "set[str] | None" = None,
                      top: int = 10, skip: int = 0,
                      facets: list | None = None,
                      boost_fields: dict[str, float] | None = None,
@@ -460,7 +461,12 @@ def query_to_request(q: str, *, search_fields: list[str],
     ast = parse_query(q, parser_options)
     if ast is None:
         raise ValueError(f"empty query: {q!r}")
-    if stopword_lists is not None:
+    if stopwords is not None:
+        # user-defined stopword set (reference opt.stopwords,
+        # query_parser_to_veloci_request.rs:119-120; config stopwords in
+        # tests.rs:29)
+        ast = _strip_stopwords(ast, frozenset(w.lower() for w in stopwords))
+    elif stopword_lists is not None:
         sw = frozenset().union(*(STOPWORD_LISTS[lang.lower()]
                                  for lang in stopword_lists))
         ast = _strip_stopwords(ast, sw)

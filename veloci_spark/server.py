@@ -1,12 +1,20 @@
-"""Minimal REST server over a FulltextIndex — the role of the reference's
-Rocket server (/root/reference/server/rocket_server.rs:197-235):
+"""Minimal REST server over a FulltextIndex — the route surface of the
+reference's Rocket server (/root/reference/server/rocket_server.rs:168-624):
 
+    GET  /version
     POST /<db>/search        JSON request body (SURVEY.md §2.5 shape)
     GET  /<db>/search?query=...&top=10   query-string language
+    POST /<db>/search_query_params      generator-params body
+                                        (SearchQueryGeneratorParameters)
     GET  /<db>/suggest?query=...&field=text          (or fields=a,b → multi)
+    POST /<db>/highlight     one RequestSearchPart body → ranked
+                             [highlighted text, score, doc_id]
+                             (rocket_server.rs:607; search_field.rs:233-245)
     GET  /<db>/_id/<doc_id>
     GET  /<db>/_idtree/<doc_id>   document reconstructed from the index
                                   (reference rocket_server.rs:205)
+    GET  /<db>/inspect/<field>/<doc_id>   raw indexed values of one field
+                                          (debug; rocket_server.rs:565)
 
 Stdlib-only (``http.server``); one Spark session serves all requests —
 Spark's FAIR scheduler can be enabled for concurrent queries. This is a
@@ -19,6 +27,68 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
+
+
+VERSION = "0.7-spark"  # reference /version returns "0.7" (rocket_server.rs:168)
+
+
+def _set_explicit_levenshtein(node, lev: int):
+    """Generator param ``levenshtein`` (explicit distance on every term,
+    query_generator.rs get_levenshteinn: explicit wins over auto)."""
+    if "search" in node:
+        node["search"]["levenshtein_distance"] = int(lev)
+        return node
+    for k in ("or", "and"):
+        for c in node.get(k, []):
+            _set_explicit_levenshtein(c, lev)
+    return node
+
+
+def _query_params_to_request(idx, p: dict) -> dict:
+    """SearchQueryGeneratorParameters body → engine request (the reference's
+    /search_query_params route, rocket_server.rs:326-338 →
+    query_generator.rs search_query). Mirrors the reference defaults:
+    stopwords strip only when ``stopword_lists``/``stopwords`` is given,
+    phrase boosts are OPT-IN via ``phrase_pairs`` (query_generator.rs:214)."""
+    from veloci_spark.query import STOPWORD_LISTS, query_to_request
+
+    fields = p.get("fields") or [f["name"] for f in idx.manifest["fields"]
+                                 if f["tokenize"]]
+    phrase_fields = [f["name"] for f in idx.manifest["fields"]
+                     if f["tokenize"] and f.get("phrase_pairs")]
+    kw = dict(search_fields=fields, phrase_fields=phrase_fields,
+              top=p.get("top") or 10, skip=p.get("skip") or 0,
+              remove_stopwords=False,
+              ignore_case=p.get("ignore_case", True))
+    if p.get("stopword_lists") is not None:
+        kw["stopword_lists"] = [l for l in p["stopword_lists"]
+                                if l.lower() in STOPWORD_LISTS]
+    if p.get("stopwords"):
+        kw["stopwords"] = set(p["stopwords"])
+    if p.get("levenshtein_auto_limit") is not None:
+        kw["levenshtein_auto_limit"] = int(p["levenshtein_auto_limit"])
+    if p.get("boost_fields"):
+        kw["boost_fields"] = p["boost_fields"]
+    if p.get("boost_terms"):
+        kw["boost_terms"] = p["boost_terms"]
+    if p.get("filter"):
+        kw["filter_query"] = p["filter"]
+    if p.get("facets"):
+        kw["facets"] = [{"field": f} for f in p["facets"]]
+    req = query_to_request(p["search_term"], **kw)
+    if not p.get("phrase_pairs"):
+        req.pop("phrase_boosts", None)
+    if p.get("levenshtein") is not None:
+        _set_explicit_levenshtein(req["search_req"], int(p["levenshtein"]))
+        for pb in req.get("phrase_boosts", []):
+            pb["search1"]["levenshtein_distance"] = int(p["levenshtein"])
+            pb["search2"]["levenshtein_distance"] = int(p["levenshtein"])
+    for flag in ("why_found", "text_locality", "explain"):
+        if p.get(flag):
+            req["explain_hits" if flag == "explain" else flag] = True
+    if p.get("select"):
+        req["select"] = p["select"]
+    return req
 
 
 def make_handler(indices: dict):
@@ -44,18 +114,58 @@ def make_handler(indices: dict):
                 self._send(404, {"error": f"unknown index: {db}"})
             return idx
 
+        def _body(self):
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n) or b"{}")
+
         def do_POST(self):
             parts = urlparse(self.path).path.strip("/").split("/")
-            if len(parts) == 2 and parts[1] == "search":
-                idx = self._index(parts[0])
-                if idx is None:
+            if len(parts) != 2:
+                self._send(404, {"error": "not found"})
+                return
+            idx = self._index(parts[0])
+            if idx is None:
+                return
+            try:
+                if parts[1] == "search":
+                    self._send(200, search(idx, self._body()))
                     return
-                n = int(self.headers.get("Content-Length", 0))
-                try:
-                    req = json.loads(self.rfile.read(n) or b"{}")
+                if parts[1] == "search_query_params":
+                    # generator-params body (rocket_server.rs:326-338)
+                    req = _query_params_to_request(idx, self._body())
                     self._send(200, search(idx, req))
-                except Exception as e:  # noqa: BLE001
-                    self._send(400, {"error": str(e)})
+                    return
+                if parts[1] == "suggest":
+                    # POST twin of the GET route (rocket_server.rs:576):
+                    # body = one RequestSearchPart-ish dict
+                    p = self._body()
+                    flds = p.get("fields") or [p.get("path", "text")]
+                    out = suggest_multi(idx, flds, p["terms"][0]
+                                        if "terms" in p else p["query"],
+                                        top=p.get("top") or 10)
+                    self._send(200, {"suggestions": out})
+                    return
+                if parts[1] == "highlight":
+                    # one RequestSearchPart → ranked highlighted stored
+                    # texts (rocket_server.rs:607; search_field.rs:233-245).
+                    # Scores are the engine's anchor scores — on the flat
+                    # webtext schema a stored text IS the doc's field value,
+                    # so text_id space and doc space coincide; nested
+                    # fields return their why_found value texts.
+                    p = self._body()
+                    field = p["path"]
+                    top = p.pop("top", None) or 10
+                    skip = p.pop("skip", None) or 0
+                    res = search(idx, {"search": p, "why_found": True,
+                                       "top": top, "skip": skip})
+                    out = []
+                    for d in res["data"]:
+                        for text in d.get("why_found", {}).get(field, []):
+                            out.append([text, d["score"], d["doc_id"]])
+                    self._send(200, out)
+                    return
+            except Exception as e:  # noqa: BLE001
+                self._send(400, {"error": str(e)})
                 return
             self._send(404, {"error": "not found"})
 
@@ -64,6 +174,27 @@ def make_handler(indices: dict):
             parts = u.path.strip("/").split("/")
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
             try:
+                if parts == ["version"]:
+                    self._send(200, VERSION)
+                    return
+                if len(parts) == 4 and parts[1] == "inspect":
+                    # debug read of one field's indexed values for one doc
+                    # (reference inspect_data /<db>/inspect/<path>/<id>,
+                    # rocket_server.rs:565-573: raw id→parent values)
+                    idx = self._index(parts[0])
+                    if idx is None:
+                        return
+                    fld, doc_id = parts[2], int(parts[3])
+                    if fld in idx.values:
+                        from pyspark.sql import functions as F
+                        rows = (idx.values[fld]
+                                .where(F.col("doc_id") == doc_id)
+                                .orderBy("pos").select("value").collect())
+                        self._send(200, [r["value"] for r in rows])
+                    else:
+                        doc = get_doc(idx, doc_id) or {}
+                        self._send(200, [doc.get(fld)] if fld in doc else [])
+                    return
                 if len(parts) == 2 and parts[1] == "search":
                     idx = self._index(parts[0])
                     if idx is None:
