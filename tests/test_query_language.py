@@ -557,3 +557,86 @@ class TestReferenceParserGoldens:
 
         assert _lex("cool:nice") == [_Attr("cool"), _RawTerm("nice")]
         assert _lex('"cool":nice') == [_Attr("cool"), _RawTerm("nice")]
+
+
+class TestParserRoundTrip:
+    """Property test for the token-exact parser: render a random AST to a
+    query string (fully parenthesized, explicit operators) and parse it
+    back — the tree must reproduce exactly (text, field, levenshtein,
+    quoted, operator shape). Derandomized for suite determinism."""
+
+    @staticmethod
+    def _strategies():
+        from hypothesis import strategies as st
+
+        word = st.text(alphabet="abcdefghijklmnopqrstuvwxyzäöü食",
+                       min_size=1, max_size=8).filter(
+            lambda w: w.upper() not in ("AND", "OR"))
+        phrase = st.tuples(word, word).map(lambda p: f"{p[0]} {p[1]}")
+        leaf = st.one_of(
+            word.map(lambda w: ("term", w, None, None, False)),
+            st.tuples(word, st.integers(0, 9)).map(
+                lambda t: ("term", t[0], None, t[1], False)),
+            st.tuples(word, word).map(
+                lambda t: ("term", t[1], t[0], None, False)),
+            st.tuples(word, word, st.integers(0, 9)).map(
+                lambda t: ("term", t[1], t[0], t[2], False)),
+            phrase.map(lambda p: ("term", p, None, None, True)),
+        )
+        tree = st.recursive(
+            leaf,
+            lambda children: st.tuples(
+                st.sampled_from(["AND", "OR"]), children, children),
+            max_leaves=6,
+        )
+        return tree
+
+    @staticmethod
+    def _render(node) -> str:
+        if node[0] == "term":
+            _tag, text, field, lev, quoted = node
+            s = f'"{text}"' if quoted else text
+            if field is not None:
+                s = f"{field}:{s}"
+            if lev is not None:
+                s = f"{s}~{lev}"
+            return s
+        op, a, b = node
+        return (f"({TestParserRoundTrip._render(a)} {op} "
+                f"{TestParserRoundTrip._render(b)})")
+
+    @staticmethod
+    def _expect(node, field_ctx=None):
+        if node[0] == "term":
+            _tag, text, field, lev, quoted = node
+            return {"t": text, "f": field if field is not None else field_ctx,
+                    "l": lev, "q": quoted}
+        op, a, b = node
+        return {op.lower(): [TestParserRoundTrip._expect(a, field_ctx),
+                             TestParserRoundTrip._expect(b, field_ctx)]}
+
+    @staticmethod
+    def _shape(ast):
+        if "term" in ast:
+            t = ast["term"]
+            return {"t": t.text, "f": t.field, "l": t.levenshtein,
+                    "q": t.quoted}
+        op = "or" if "or" in ast else "and"
+        return {op: [TestParserRoundTrip._shape(c) for c in ast[op]]}
+
+    def test_round_trip(self):
+        from hypothesis import HealthCheck, given, settings
+
+        from veloci_spark.query import parse_query
+
+        tree_st = self._strategies()
+
+        @settings(max_examples=300, deadline=None, derandomize=True,
+                  suppress_health_check=list(HealthCheck))
+        @given(tree_st)
+        def check(tree):
+            q = self._render(tree)
+            got = parse_query(q)
+            assert self._shape(got) == self._expect(tree), q
+
+        check()
