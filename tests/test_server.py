@@ -131,3 +131,43 @@ def test_reference_route_parity(spark_index, corpus):
         assert vals == [corpus[d0]["text"]]
     finally:
         httpd.shutdown()
+
+
+def test_get_query_params_and_explain_plan(spark_index):
+    """GET /search carries the full QueryParams form (boost_fields pairs,
+    facets, flags) and POST /search_query_params/explain_plan returns the
+    generated request + the Catalyst plan (reference rocket_server.rs:88-111,
+    312-324)."""
+    import urllib.parse
+
+    from veloci_spark.server import serve
+
+    httpd = serve({"webtext": spark_index}, port=0, background=True)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}/webtext"
+    try:
+        # GET with boost_fields + facets + why_found; must agree with the
+        # equivalent POST generator-params body
+        qs = urllib.parse.urlencode({
+            "query": "urge", "top": 5, "facets": "lang",
+            "boost_fields": "text->2.0", "why_found": "true"})
+        got = _get(f"{base}/search?{qs}")
+        want = _post(f"{base}/search_query_params",
+                     {"search_term": "urge", "top": 5, "facets": ["lang"],
+                      "boost_fields": {"text": 2.0}, "why_found": True})
+        assert [d["doc_id"] for d in got["data"]] == \
+            [d["doc_id"] for d in want["data"]]
+        assert got["facets"] == want["facets"]
+        assert all(d["why_found"] for d in got["data"])
+
+        # explicit levenshtein through GET
+        assert _get(f"{base}/search?query=urgx&levenshtein=0")["num_hits"] == 0
+
+        # explain_plan: request echo + a real Catalyst formatted plan
+        out = _post(f"{base}/search_query_params/explain_plan",
+                    {"search_term": "urge", "top": 5})
+        assert out["request"]["top"] == 5
+        assert "Physical Plan" in out["plan"]
+        assert "TakeOrderedAndProject" in out["plan"] or "Sort" in out["plan"]
+    finally:
+        httpd.shutdown()

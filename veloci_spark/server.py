@@ -74,7 +74,8 @@ def _query_params_to_request(idx, p: dict) -> dict:
     if p.get("filter"):
         kw["filter_query"] = p["filter"]
     if p.get("facets"):
-        kw["facets"] = [{"field": f} for f in p["facets"]]
+        kw["facets"] = [{"field": f, "top": p.get("facetlimit") or 10}
+                        for f in p["facets"]]
     req = query_to_request(p["search_term"], **kw)
     if not p.get("phrase_pairs"):
         req.pop("phrase_boosts", None)
@@ -91,8 +92,46 @@ def _query_params_to_request(idx, p: dict) -> dict:
     return req
 
 
+def _get_params_to_query_params(q: dict) -> dict:
+    """GET /search query string → SearchQueryGeneratorParameters dict — the
+    reference's QueryParams form mapping (rocket_server.rs:88-111): comma
+    lists for fields/facets/stopword lists/select, ``field->2.0`` pairs for
+    boosts, boolean flags."""
+    p: dict = {"search_term": q["query"]}
+    for k in ("top", "skip", "levenshtein", "levenshtein_auto_limit"):
+        if k in q:
+            p[k] = int(q[k])
+    for k in ("fields", "facets", "stopword_lists", "stopwords", "select"):
+        if k in q:
+            p[k] = q[k].split(",")
+    for k in ("boost_fields", "boost_terms"):
+        if k in q:
+            p[k] = {f: float(v) for f, v in
+                    (pair.split("->", 1) for pair in q[k].split(","))}
+    for k in ("why_found", "phrase_pairs", "explain", "text_locality"):
+        if k in q:
+            p[k] = q[k].lower() in ("1", "true", "yes")
+    if "filter" in q:
+        p["filter"] = q["filter"]
+    if "facetlimit" in q:
+        p["facetlimit"] = int(q["facetlimit"])
+    return p
+
+
+def _explain_plan(idx, req: dict) -> str:
+    """The reference's explain_plan (rocket_server.rs:312; search.rs:137-146
+    emits the plan DAG as a dot graph) — the Spark-native equivalent is the
+    Catalyst physical plan of the ranked DataFrame."""
+    from veloci_spark.search import search_df
+
+    df = search_df(idx, req)
+    jqe = df._jdf.queryExecution()
+    jmode = (df.sparkSession._jvm.org.apache.spark.sql.execution
+             .ExplainMode.fromString("formatted"))
+    return jqe.explainString(jmode)
+
+
 def make_handler(indices: dict):
-    from veloci_spark.query import search_query
     from veloci_spark.search import (get_doc, read_data, search, suggest,
                                      suggest_multi)
 
@@ -120,13 +159,24 @@ def make_handler(indices: dict):
 
         def do_POST(self):
             parts = urlparse(self.path).path.strip("/").split("/")
-            if len(parts) != 2:
+            if len(parts) not in (2, 3):
                 self._send(404, {"error": "not found"})
                 return
             idx = self._index(parts[0])
             if idx is None:
                 return
             try:
+                if parts[1:] == ["search_query_params", "explain_plan"]:
+                    # rocket_server.rs:312-324: the generated request's
+                    # execution plan (dot graph there; Catalyst formatted
+                    # plan here)
+                    req = _query_params_to_request(idx, self._body())
+                    self._send(200, {"request": req,
+                                     "plan": _explain_plan(idx, req)})
+                    return
+                if len(parts) != 2:
+                    self._send(404, {"error": "not found"})
+                    return
                 if parts[1] == "search":
                     self._send(200, search(idx, self._body()))
                     return
@@ -196,16 +246,18 @@ def make_handler(indices: dict):
                         self._send(200, [doc.get(fld)] if fld in doc else [])
                     return
                 if len(parts) == 2 and parts[1] == "search":
+                    # full QueryParams form (rocket_server.rs:355-360):
+                    # routed through the same generator-params mapping as
+                    # POST /search_query_params, so GET and POST agree on
+                    # every option (incl. the reference's defaults: no
+                    # stopword stripping unless lists are passed, phrase
+                    # boosts opt-in)
                     idx = self._index(parts[0])
                     if idx is None:
                         return
-                    kw = {"top": int(q.get("top", 10)),
-                          "skip": int(q.get("skip", 0))}
-                    if "fields" in q:   # restrict searched fields
-                        kw["search_fields"] = q["fields"].split(",")
-                    if "filter" in q:   # ids-only filter query (lev 0)
-                        kw["filter_query"] = q["filter"]
-                    self._send(200, search_query(idx, q["query"], **kw))
+                    req = _query_params_to_request(
+                        idx, _get_params_to_query_params(q))
+                    self._send(200, search(idx, req))
                     return
                 if len(parts) == 2 and parts[1] == "suggest":
                     idx = self._index(parts[0])
