@@ -89,6 +89,10 @@ def _query_params_to_request(idx, p: dict) -> dict:
             req["explain_hits" if flag == "explain" else flag] = True
     if p.get("select"):
         req["select"] = p["select"]
+    if p.get("boost_queries"):
+        # reference opt.boost_queries → request.boost verbatim
+        # (query_generator.rs:67,240): boost-by-field specs
+        req["boost"] = p["boost_queries"]
     return req
 
 
