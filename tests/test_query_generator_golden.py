@@ -213,3 +213,27 @@ class TestFieldErrors:
         # :373-381
         with pytest.raises((KeyError, ValueError)):
             _sq(qg_index, "notexistingfield:awes*")
+
+    def test_explained(self, qg_index):
+        # :139-152 simple_search_querygenerator_explained — explain=true
+        # attaches per-hit derivation steps; steps re-derive the score
+        import numpy as np
+
+        res = _sq(qg_index, "urge", explain_hits=True)
+        assert res["num_hits"] == 1
+        assert _ent(qg_index, res) == "1587690"
+        steps = res["data"][0]["explain"]
+        assert len(steps) >= 2  # term_to_anchor rows + leaf max at minimum
+        assert np.float32(steps[-1]["score"]) == np.float32(
+            res["data"][0]["score"])
+
+    def test_or_connect_explained(self, qg_index):
+        # :154-168 — the OR query explains every hit; winner unchanged
+        import numpy as np
+
+        res = _sq(qg_index, "urge OR いよく", explain_hits=True)
+        assert res["num_hits"] == 3
+        assert _ent(qg_index, res) == "1587690"
+        for d in res["data"]:
+            assert np.float32(d["explain"][-1]["score"]) == \
+                np.float32(d["score"])

@@ -570,7 +570,10 @@ def query_to_request(q: str, *, search_fields: list[str],
 
 
 def search_query(index, q: str, **kw):
-    """Convenience: parse + generate + execute against a FulltextIndex."""
+    """Convenience: parse + generate + execute against a FulltextIndex.
+    Request-level flags the reference generator params carry (explain →
+    per-hit derivation, why_found, text_locality, select,
+    test_query_generator.rs:139-152) pass through to the request."""
     from veloci_spark.search import search
 
     fields = kw.pop("search_fields", None)
@@ -580,5 +583,9 @@ def search_query(index, q: str, **kw):
     if phrase_fields is None:
         phrase_fields = [f["name"] for f in index.manifest["fields"]
                          if f["tokenize"] and f.get("phrase_pairs")]
+    extras = {k: kw.pop(k) for k in ("explain_hits", "why_found",
+                                     "text_locality", "select", "boost")
+              if k in kw}
     req = query_to_request(q, search_fields=fields, phrase_fields=phrase_fields, **kw)
+    req.update(extras)
     return search(index, req)
