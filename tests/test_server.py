@@ -129,6 +129,21 @@ def test_reference_route_parity(spark_index, corpus):
         d0 = out[0][2]
         vals = _get(f"{base}/inspect/text/{d0}")
         assert vals == [corpus[d0]["text"]]
+
+        # boost_queries → request.boost verbatim (query_generator.rs:67,240):
+        # an Add boost by doc_id shifts every score by exactly its doc_id
+        import numpy as np
+        base_res = _post(f"{base}/search_query_params",
+                         {"search_term": "urge", "top": 5})
+        boosted = _post(f"{base}/search_query_params",
+                        {"search_term": "urge", "top": 5,
+                         "boost_queries": [{"path": "doc_id",
+                                            "boost_fun": "Add"}]})
+        b0 = {d["doc_id"]: d["score"] for d in base_res["data"]}
+        for d in boosted["data"]:
+            want = np.float32(np.float32(b0[d["doc_id"]])
+                              + np.float32(d["doc_id"]))
+            assert np.float32(d["score"]) == want, d
     finally:
         httpd.shutdown()
 
