@@ -199,3 +199,126 @@ class TestFuzzDifferential:
             assert got["num_hits"] == len(full), req
 
         check()
+
+
+# ---------------------------------------------------------------------------
+# composed-path fuzzing: per-leg boost-by-field (options.boost) × request
+# extras (filter / phrase boost / term boost / text locality). These shapes
+# run the composed evaluation (one kernel pass per leaf, per-leg boosts,
+# doc_id exchange into the eval_segment combine) — r5 extended it from
+# plain trees to the full post-tree pipeline; this battery certifies every
+# combination against the model, exact f32.
+
+_BOOST_WORDS = ["apple", "pie", "orchard", "pear", "sweet", "north",
+                "jam", "green", "red", "crisp"]
+
+
+@pytest.fixture(scope="module")
+def boost_engines(spark, tmp_path_factory):
+    from veloci_spark.build import build_index
+    from veloci_spark.config import FieldConfig, IndexConfig
+    from veloci_spark.search import FulltextIndex
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(60):
+        n = int(rng.randint(3, 9))
+        text = " ".join(_BOOST_WORDS[j] for j in rng.randint(0, len(_BOOST_WORDS), n))
+        rows.append({"doc_id": i, "text": text,
+                     "rank_": None if i % 7 == 3 else int(rng.randint(0, 50))})
+    cfg = IndexConfig(fields=(FieldConfig("text"),), doc_id_col="doc_id",
+                      segment_docs=8)
+    d = str(tmp_path_factory.mktemp("fuzzlegidx"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, rank_ long")
+    build_index(spark, docs, cfg, d)
+    idx = FulltextIndex(spark, d).cache()
+    ref = pyref.RefIndex(rows, cfg)
+    pairs = sorted(ref.fields["text"].phrase_pairs)
+    return idx, ref, pairs
+
+
+def _composed_leaf_strategy():
+    def build(i, boost_i, fb_fun, fb_param):
+        leaf = {"terms": [_BOOST_WORDS[i % len(_BOOST_WORDS)]], "path": "text"}
+        if boost_i is not None:  # scalar leg boost — composes with specs
+            leaf["boost"] = (0.5, 1.5, 2.0, 3.0)[boost_i % 4]
+        if fb_fun is not None:  # per-leg boost-by-field (options.boost)
+            spec = {"path": "rank_", "boost_fun": fb_fun}
+            if fb_fun == "Log10":
+                spec["param"] = fb_param
+            leaf["options"] = {"boost": [spec]}
+        return {"search": leaf}
+
+    return st.builds(
+        build,
+        st.integers(min_value=0, max_value=10_000),
+        st.none() | st.integers(min_value=0, max_value=3),
+        st.none() | st.sampled_from(["Log10", "Multiply", "Add"]),
+        st.integers(min_value=0, max_value=2),
+    )
+
+
+def _composed_request_strategy(phrase_pairs):
+    leaf = _composed_leaf_strategy()
+    tree = st.one_of(
+        leaf,
+        st.builds(lambda kids: {"or": kids},
+                  st.lists(leaf, min_size=2, max_size=3)),
+        st.builds(lambda kids: {"and": kids},
+                  st.lists(leaf, min_size=2, max_size=2)),
+    )
+
+    def assemble(t, top, skip, filt_i, tb_i, locality, pb_i):
+        req = {**t, "top": top, **({"skip": skip} if skip else {})}
+        if filt_i is not None:
+            req["filter"] = {"search": {
+                "terms": [_BOOST_WORDS[filt_i % len(_BOOST_WORDS)]],
+                "path": "text"}}
+        if tb_i is not None:
+            req["boost_term"] = [{"path": "text", "boost": 2.0, "terms": [
+                _BOOST_WORDS[tb_i % len(_BOOST_WORDS)]]}]
+        if locality:
+            req["text_locality"] = True
+        if pb_i is not None and phrase_pairs:
+            a, b = phrase_pairs[pb_i % len(phrase_pairs)]
+            req["phrase_boosts"] = [{"path": "text",
+                                     "search1": {"terms": [a], "path": "text"},
+                                     "search2": {"terms": [b], "path": "text"}}]
+        return req
+
+    return st.builds(
+        assemble, tree,
+        st.integers(min_value=1, max_value=30),
+        st.integers(min_value=0, max_value=4),
+        st.none() | st.integers(min_value=0, max_value=10_000),
+        st.none() | st.integers(min_value=0, max_value=10_000),
+        st.booleans(),
+        st.none() | st.integers(min_value=0, max_value=10_000),
+    )
+
+
+class TestFuzzComposedExtras:
+    def test_composed_extras_match_oracle(self, boost_engines):
+        from veloci_spark.search import search
+
+        idx, ref, pairs = boost_engines
+
+        @settings(max_examples=N_EXAMPLES, deadline=None,
+                  derandomize=DERANDOMIZE,
+                  suppress_health_check=[HealthCheck.too_slow])
+        @given(req=_composed_request_strategy(pairs))
+        def check(req):
+            got = search(idx, req)
+            want = pyref.search_request(ref, req)
+            got_pairs = [(d["doc_id"], np.float32(d["score"]))
+                         for d in got["data"]]
+            want_pairs = [(d, np.float32(s)) for d, s in want]
+            assert [p[0] for p in got_pairs] == [p[0] for p in want_pairs], req
+            for (gd, gs), (_wd, ws) in zip(got_pairs, want_pairs):
+                assert gs == ws, (req, gd, gs, ws)
+            full = pyref.search_request(ref, {k: v for k, v in req.items()
+                                              if k not in ("top", "skip")}
+                                        | {"top": 10**9})
+            assert got["num_hits"] == len(full), req
+
+        check()

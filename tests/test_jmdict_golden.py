@@ -629,6 +629,75 @@ class TestPerLegBoost:
                 [0])
 
 
+class TestComposedExtrasEquivalence:
+    """Per-leg options.boost now composes with every request extra (filter /
+    phrase / term boost / text locality — r5). Certification on the NESTED
+    jm corpus (where the flat pyref model can't follow): `expression:
+    "$SCORE"` is an exact no-op boost (eval_boost_expression returns the
+    score unchanged, NaN values included), so injecting it into one leg
+    must leave every rank, score, and num_hits bit-identical while forcing
+    the whole request through the composed path."""
+
+    NOOP = {"options": {"boost": [{"path": "commonness",
+                                   "expression": "$SCORE"}]}}
+
+    def _pairs(self, res):
+        return ([(h["doc_id"], np.float32(h["score"])) for h in res["data"]],
+                res["num_hits"])
+
+    def test_noop_leg_boost_with_nested_locality(self, jm_index):
+        # composed + text_locality over NESTED leaves → the post-combine
+        # locality pass (per-VALUE grouping), same as the main path's
+        # post-kernel move
+        from veloci_spark.search import search
+
+        base = {"search_req": {"or": [
+            {"search": {"terms": ["text"], "path": "meanings.ger[]"}},
+            {"search": {"terms": ["localität"], "path": "meanings.ger[]"}}]},
+            "text_locality": True}
+        plain = search(jm_index, base)
+        composed = search(jm_index, {"search_req": {"or": [
+            {"search": {"terms": ["text"], "path": "meanings.ger[]",
+                        **self.NOOP}},
+            {"search": {"terms": ["localität"], "path": "meanings.ger[]"}}]},
+            "text_locality": True})
+        assert self._pairs(composed) == self._pairs(plain)
+
+    def test_noop_leg_boost_with_filter(self, jm_index):
+        # tests.rs:739-761 shape: the filter subtree reuses an OR leg
+        from veloci_spark.search import search
+
+        base = {"or": [
+            {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+            {"search": {"terms": ["urge"], "path": "meanings.eng[]"}}],
+            "filter": {"search": {"terms": ["urge"],
+                                  "path": "meanings.eng[]"}}}
+        plain = search(jm_index, base)
+        composed = search(jm_index, {"or": [
+            {"search": {"terms": ["majestät"], "path": "meanings.ger[]",
+                        **self.NOOP}},
+            {"search": {"terms": ["urge"], "path": "meanings.eng[]"}}],
+            "filter": {"search": {"terms": ["urge"],
+                                  "path": "meanings.eng[]"}}})
+        assert self._pairs(composed) == self._pairs(plain)
+        assert plain["num_hits"] >= 1
+
+    def test_noop_leg_boost_with_term_boost(self, jm_index):
+        from veloci_spark.search import search
+
+        base = {"or": [
+            {"search": {"terms": ["majestät"], "path": "meanings.ger[]"}},
+            {"search": {"terms": ["urge"], "path": "meanings.eng[]"}}],
+            "boost_term": [{"path": "meanings.eng[]", "boost": 2.0,
+                            "terms": ["urge"]}]}
+        plain = search(jm_index, base)
+        composed = search(jm_index, {**base, "or": [
+            {"search": {"terms": ["majestät"], "path": "meanings.ger[]",
+                        **self.NOOP}},
+            {"search": {"terms": ["urge"], "path": "meanings.eng[]"}}]})
+        assert self._pairs(composed) == self._pairs(plain)
+
+
 class TestBoostRanking:
     def test_rank_boost_on_anchor_higher_search_on_anchor(self, jm_index):
         # tests.rs:1102-1126 — Log2(commonness + 2) boost raises the score

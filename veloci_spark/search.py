@@ -1087,13 +1087,17 @@ def _leaf_kernel_rows(index: FulltextIndex, leaf):
     )
 
 
-def _combine_tree_factory(tree: dict):
+def _combine_plan_factory(cplan: dict):
     """mapInPandas kernel over doc_id-partitioned (leaf_id, doc_id, score)
     rows: per partition, rebuild each leaf's (ids asc, f32 scores) arrays
-    and run :func:`eval_tree` — the exact combine the segment kernel uses,
-    so composed evaluation is bit-identical to in-kernel evaluation. Sound
-    per-partition because the combine is per-doc and the repartition hashes
-    by doc_id (all of a doc's leg rows land together)."""
+    and run :func:`eval_segment` — the exact post-tree pipeline the segment
+    kernel uses (tree combine → filter ∩ → phrase ×5 → term boost →
+    flat locality), so composed evaluation is bit-identical to in-kernel
+    evaluation. Sound per-partition because every eval_segment step is
+    per-doc independent (isin keeps/multiplies, locality counts tags per
+    doc) and the repartition hashes by doc_id — all of a doc's leg AND
+    ids-leg rows land together."""
+    scored = set(cplan["scored_leaf_ids"])
 
     def fn(iterator):
         parts = []
@@ -1104,41 +1108,121 @@ def _combine_tree_factory(tree: dict):
             return
         allp = pd.concat(parts, ignore_index=True)
         leaf_hits = {}
+        leaf_idsets = {}
         for lid, g in allp.groupby("leaf_id"):
             ids = g["doc_id"].values.astype(np.int64)
-            sc = g["score"].values.astype(_F32)
-            order = np.argsort(ids)
-            leaf_hits[int(lid)] = (ids[order], sc[order])
-        ids, sc = eval_tree(tree, leaf_hits)
+            if int(lid) in scored:
+                sc = g["score"].values.astype(_F32)
+                order = np.argsort(ids)
+                ids = ids[order]
+                leaf_hits[int(lid)] = (ids, sc[order])
+                leaf_idsets[int(lid)] = ids  # scored legs are pre-deduped
+            else:
+                leaf_idsets[int(lid)] = np.unique(ids)
+        ids, sc = eval_segment(cplan, leaf_hits, leaf_idsets)
         yield _hits_pdf(ids, sc, len(ids))
 
     return fn
 
 
-def _composed_search_hits(index: FulltextIndex, tree: dict, leaves) -> DataFrame:
+_LEG_SCHEMA = "leaf_id int, doc_id long, score float"
+
+
+def _leg_ids_kernel_factory(segment_docs: int):
+    """mapInPandas kernel turning packed kernel-input rows (postings /
+    phrase / identity) into flat ids-only leg rows (leaf_id, doc_id, 0.0)
+    for the composed combine's ``leaf_idsets`` (filter legs, term-boost
+    legs, phrase legs need doc-id SETS, never scores)."""
+
+    def fn(iterator):
+        for pdf in iterator:
+            if pdf.empty:
+                continue
+            out_lids, out_ids = [], []
+            docs_col = pdf.columns.get_loc("docs_bin")
+            for i in range(len(pdf)):
+                if pdf.iat[i, docs_col] is not None:
+                    ids = (unpack_ids(pdf.iat[i, docs_col])
+                           + int(pdf["segment"].values[i]) * segment_docs)
+                elif pdf["doc_ids"].values[i] is not None:
+                    # identity rows carry absolute doc ids
+                    ids = np.asarray(pdf["doc_ids"].values[i], dtype=np.int64)
+                else:
+                    continue
+                out_ids.append(ids)
+                out_lids.append(np.full(len(ids), int(pdf["leaf_id"].values[i]),
+                                        dtype=np.int32))
+            if out_ids:
+                ids = np.concatenate(out_ids)
+                yield pd.DataFrame({"leaf_id": np.concatenate(out_lids),
+                                    "doc_id": ids,
+                                    "score": np.zeros(len(ids), dtype=np.float32)})
+
+    return fn
+
+
+def _id_tree_leaf_ids(node: dict) -> set:
+    if node["op"] == "leaf":
+        return {node["leaf_id"]}
+    out: set = set()
+    for c in node["children"]:
+        out |= _id_tree_leaf_ids(c)
+    return out
+
+
+def _strip_leaf_boosts(node: dict) -> dict:
+    """Deep copy of a plan tree with every leaf's scalar boost nulled — the
+    composed path applies each leaf's scalar boost in its OWN leg kernel
+    (before the per-leg field boosts, matching the reference's leaf-level
+    order and the pyref model: scalar first, then options.boost specs), so
+    the combine must not apply it a second time."""
+    if node["op"] == "leaf":
+        return {**node, "boost": None}
+    return {**node, "children": [_strip_leaf_boosts(c) for c in node["children"]]}
+
+
+def _composed_search_hits(index: FulltextIndex, cplan: dict, leaves,
+                          phrase_rows=None) -> DataFrame:
     """Per-leg-boost evaluation (reference options.boost, tests.rs:843-871):
-    one emit-all segment-kernel pass per leaf, each leg's field boosts
-    applied to its own hits (the existing request-level machinery,
-    :func:`_apply_anchor_boosts`, reused per leg), then one doc_id-hash
-    exchange into :func:`_combine_tree_factory` for the tree combine.
+    one emit-all segment-kernel pass per scored leaf — the leaf's scalar
+    boost applied in-kernel, then its field boosts via the existing
+    request-level machinery (:func:`_apply_anchor_boosts`) — plus ids-only
+    leg passes for filter / term-boost / phrase legs, then one doc_id-hash
+    exchange into :func:`_combine_plan_factory` for the full post-tree
+    pipeline (combine → filter → phrase → term boost → flat locality).
 
     Scale shape: kernel passes are per-leaf (like the reference's
     per-RequestSearchPart plan steps); the single extra shuffle moves only
-    the per-leg HIT sets (not postings, not documents) — the unavoidable
+    the per-leg HIT/ID sets (not postings, not documents) — the unavoidable
     price of reordering boosts applied below the combine."""
+    scored = set(cplan["scored_leaf_ids"])
+    need_ids: set = set()
+    if cplan.get("filter") is not None:
+        need_ids |= _id_tree_leaf_ids(cplan["filter"])
+    for lid, _factor in cplan.get("term_boost_leaves", ()):
+        need_ids.add(lid)
+    segment_docs = int(index.manifest["segment_docs"])
     legs = []
     for leaf in leaves:
+        if leaf.leaf_id not in scored and leaf.leaf_id not in need_ids:
+            continue
         rows = _leaf_kernel_rows(index, leaf)
         if rows is None:
             continue
+        if leaf.leaf_id not in scored:
+            # ids-only leg (filter-only / term-boost leaf): no scoring, no
+            # boosts — just its doc-id set for the combine's leaf_idsets
+            legs.append(rows.mapInPandas(
+                _leg_ids_kernel_factory(segment_docs), schema=_LEG_SCHEMA))
+            continue
         plan = {"tree": {"op": "leaf", "leaf_id": leaf.leaf_id,
-                         "tag": leaf.tag, "boost": None},
+                         "tag": leaf.tag, "boost": leaf.boost},
                 "filter": None, "phrase_leaves": [], "term_boost_leaves": [],
                 "locality": False, "post_locality": False,
                 "scored_leaf_ids": {leaf.leaf_id},
                 "locality_leaves": [], "top": None, "count_hits": False,
                 "top_extra": {}, "seg_deleted": {},
-                "segment_docs": int(index.manifest["segment_docs"]),
+                "segment_docs": segment_docs,
                 "quantize_f16":
                     index.manifest.get("scoring", "veloci") == "veloci"}
         kernel = _segment_kernel_factory(plan, {leaf.leaf_id})
@@ -1148,13 +1232,46 @@ def _composed_search_hits(index: FulltextIndex, tree: dict, leaves) -> DataFrame
                                      [leaf])
         legs.append(h.select(F.lit(leaf.leaf_id).alias("leaf_id"),
                              "doc_id", "score"))
+    if phrase_rows is not None:
+        legs.append(phrase_rows.mapInPandas(
+            _leg_ids_kernel_factory(segment_docs), schema=_LEG_SCHEMA))
     if not legs:
         return index.spark.createDataFrame([], schema=_HITS_SCHEMA)
     union = legs[0]
     for df in legs[1:]:
         union = union.unionByName(df)
     return (union.repartition("doc_id")
-            .mapInPandas(_combine_tree_factory(tree), schema=_HITS_SCHEMA))
+            .mapInPandas(_combine_plan_factory(cplan), schema=_HITS_SCHEMA))
+
+
+def _phrase_rows(index: FulltextIndex, phrase_specs, next_leaf_id: int):
+    """Kernel-input rows for the requested phrase pairs, tagged with
+    synthetic leaf ids ≥ ``next_leaf_id``. Returns (rows, phrase_leaf_ids).
+
+    Explicit isin predicates reach the parquet row-group stats (the phrase
+    table is sorted by pair); rows are already packed per (pair, segment) —
+    they feed the kernel directly with no shuffle of their own."""
+    spark = index.spark
+    specs_df = spark.createDataFrame(
+        [(f, a, b, next_leaf_id + i) for i, (f, a, b) in enumerate(phrase_specs)],
+        "field string, tok_a string, tok_b string, phrase_leaf int")
+    phrase_leaf_ids = [next_leaf_id + i for i in range(len(phrase_specs))]
+    a_set = list({a for _f, a, _b in phrase_specs})
+    b_set = list({b for _f, _a, b in phrase_specs})
+    prows = (
+        index.phrase
+        .where(F.col("tok_a").isin(a_set) & F.col("tok_b").isin(b_set))
+        .join(F.broadcast(specs_df), on=["field", "tok_a", "tok_b"])
+        .select("segment",
+                F.col("phrase_leaf").alias("leaf_id"),
+                F.lit(0.0).cast("float").alias("term_score"),
+                F.lit(0).cast("long").alias("max_score"),
+                "docs_bin",
+                F.lit(None).cast("binary").alias("scores_bin"),
+                F.lit(None).cast("array<long>").alias("doc_ids"),
+                "phrase_leaf")
+    )
+    return prows, phrase_leaf_ids
 
 
 def _search_hits(index: FulltextIndex, request: dict, need_all: bool,
@@ -1179,17 +1296,37 @@ def _search_hits(index: FulltextIndex, request: dict, need_all: bool,
         # part, tests.rs:843-871): each leg's hits must be boosted BEFORE
         # the tree combine, which the in-kernel combined evaluation cannot
         # express — switch to the composed path (one kernel pass per leaf,
-        # boost per leg, then a distributed eval_tree combine)
-        if (phrase_specs or term_boost_leaves or filter_tree is not None
-                or request.get("text_locality")):
-            raise NotImplementedError(
-                "per-leg options.boost composes with plain scored trees "
-                "only (no filter/phrase/locality/term-boost extras)")
-        hits = _composed_search_hits(index, tree, leaves)
-        plan = {"tree": tree, "filter": None, "post_locality": False,
-                "scored_leaf_ids": set(scored_ids), "top": None,
-                "segment_docs": int(index.manifest["segment_docs"])}
-        return hits, plan, leaves
+        # boost per leg, then a distributed eval_segment combine running
+        # the same post-tree pipeline: filter ∩ → phrase ×5 → term boost →
+        # locality; nested locality moves post-combine exactly as the main
+        # path moves it post-kernel)
+        post_loc = bool(request.get("text_locality")) and any(
+            index.fields.get(l.field, {}).get("is_nested")
+            for l in leaves if l.leaf_id in scored_ids)
+        cplan = {
+            # scalar leaf boosts are applied in the LEG kernels (leaf-level,
+            # before the per-leg field boosts — reference order); strip them
+            # so the combine doesn't re-apply
+            "tree": _strip_leaf_boosts(tree),
+            "filter": filter_tree,
+            "phrase_leaves": [],
+            "term_boost_leaves": term_boost_leaves,
+            "locality": bool(request.get("text_locality")) and not post_loc,
+            "post_locality": post_loc,
+            "scored_leaf_ids": set(scored_ids),
+            "locality_leaves": [(l.leaf_id, l.tag) for l in leaves
+                                if l.leaf_id in scored_ids],
+            "top": None,
+            "segment_docs": int(index.manifest["segment_docs"]),
+            "quantize_f16":
+                index.manifest.get("scoring", "veloci") == "veloci",
+        }
+        phrase_rows = None
+        if phrase_specs:
+            phrase_rows, cplan["phrase_leaves"] = _phrase_rows(
+                index, phrase_specs, len(leaves))
+        hits = _composed_search_hits(index, cplan, leaves, phrase_rows)
+        return hits, cplan, leaves
 
     top = request.get("top", 10)
     skip = request.get("skip", 0)
@@ -1316,29 +1453,7 @@ def _search_hits(index: FulltextIndex, request: dict, need_all: bool,
     next_leaf_id = len(leaves)
     phrase_leaf_ids = []
     if phrase_specs:
-        specs_df = spark.createDataFrame(
-            [(f, a, b, next_leaf_id + i) for i, (f, a, b) in enumerate(phrase_specs)],
-            "field string, tok_a string, tok_b string, phrase_leaf int")
-        phrase_leaf_ids = [next_leaf_id + i for i in range(len(phrase_specs))]
-        # explicit isin predicates reach the parquet row-group stats (the
-        # phrase table is sorted by pair); rows are already packed per
-        # (pair, segment) — they feed the kernel directly, no shuffle here
-        # beyond the shared repartition("segment")
-        a_set = list({a for _f, a, _b in phrase_specs})
-        b_set = list({b for _f, _a, b in phrase_specs})
-        prows = (
-            index.phrase
-            .where(F.col("tok_a").isin(a_set) & F.col("tok_b").isin(b_set))
-            .join(F.broadcast(specs_df), on=["field", "tok_a", "tok_b"])
-            .select("segment",
-                    F.col("phrase_leaf").alias("leaf_id"),
-                    F.lit(0.0).cast("float").alias("term_score"),
-                    F.lit(0).cast("long").alias("max_score"),
-                    "docs_bin",
-                    F.lit(None).cast("binary").alias("scores_bin"),
-                    F.lit(None).cast("array<long>").alias("doc_ids"),
-                    "phrase_leaf")
-        )
+        prows, phrase_leaf_ids = _phrase_rows(index, phrase_specs, next_leaf_id)
         rows = rows.unionByName(prows)
     plan["phrase_leaves"] = phrase_leaf_ids
 
