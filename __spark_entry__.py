@@ -661,6 +661,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             for d in boosted["data"])
         return spark.createDataFrame(rows or [], "doc_id long, ratio long")
 
+    def ft_leg_boost_filtered(spark, sf_dir):
+        # PER-LEG options.boost COMPOSED with a request-level filter (r5:
+        # the composed path runs the full eval_segment pipeline — filter
+        # legs ship as ids-only rows into the doc_id exchange). Filter ∩
+        # keeps scores, so the boosted/unboosted ratio closed form (product
+        # of matched sibling ratings) holds on exactly the parents whose
+        # members also match the filter term.
+        from veloci_spark.search import search
+
+        idx = _get_nested_index(spark, sf_dir)
+        filt = {"search": {"terms": ["dup"], "path": "members[].text"}}
+        base = search(idx, {"search": {"terms": ["spark"],
+                                       "path": "members[].text"},
+                            "filter": filt, "top": 1_000_000})
+        boosted = search(idx, {
+            "search": {"terms": ["spark"], "path": "members[].text",
+                       "options": {"boost": [
+                           {"path": "members[].rating",
+                            "boost_fun": "Multiply"}]}},
+            "filter": filt, "top": 1_000_000})
+        b0 = {d["doc_id"]: d["score"] for d in base["data"]}
+        rows = sorted(
+            (int(d["doc_id"]), int(round(d["score"] / b0[d["doc_id"]])))
+            for d in boosted["data"])
+        return spark.createDataFrame(rows or [], "doc_id long, ratio long")
+
     def dd_exact_groups(spark, sf_dir):
         return dd.exact_duplicates(_documents(spark, sf_dir)).select(
             F.col("canonical_id").cast("long"), F.col("doc_id").cast("long"))
@@ -857,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_nested2_tokentexts": ft_nested2_tokentexts,
         "ft_nested_boost": ft_nested_boost,
         "ft_leg_boost": ft_leg_boost,
+        "ft_leg_boost_filtered": ft_leg_boost_filtered,
         "dd_exact_groups": dd_exact_groups,
         "dd_distinct_keep": dd_distinct_keep,
         "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -1150,6 +1177,33 @@ matched AS (
 SELECT parent AS doc_id,
        CAST(product(1 + (parent * {NESTED_GROUP} + pos) % 2) AS BIGINT) AS ratio
 FROM matched GROUP BY parent ORDER BY doc_id
+"""
+
+    sql["ft_leg_boost_filtered"] = f"""
+WITH {runs},
+matched AS (
+  SELECT DISTINCT doc_id // {NESTED_GROUP} AS parent,
+                  doc_id % {NESTED_GROUP} AS pos
+  FROM (
+    SELECT doc_id FROM runs WHERE tok = 'spark'
+    UNION ALL
+    SELECT doc_id FROM documents
+    WHERE octet_length(encode(text)) <= 64 AND lower(text) = 'spark'
+  )
+),
+filt AS (
+  SELECT DISTINCT doc_id // {NESTED_GROUP} AS parent
+  FROM (
+    SELECT doc_id FROM runs WHERE tok = 'dup'
+    UNION ALL
+    SELECT doc_id FROM documents
+    WHERE octet_length(encode(text)) <= 64 AND lower(text) = 'dup'
+  )
+)
+SELECT parent AS doc_id,
+       CAST(product(1 + (parent * {NESTED_GROUP} + pos) % 2) AS BIGINT) AS ratio
+FROM matched JOIN filt USING (parent)
+GROUP BY parent ORDER BY doc_id
 """
 
     sql["dd_exact_groups"] = """
