@@ -618,15 +618,53 @@ class TestPerLegBoost:
             assert any(st["step"] == "leg_boost"
                        for h in got["data"] for st in h["explain"]), req
 
-    def test_explain_refuses_nested_per_leg_boost(self, jm_index):
-        from veloci_spark.explain import explain_hits
+    def test_explain_derives_nested_per_leg_boost(self, jm_index):
+        # r5: explain re-derives the nested sibling-subfield per-leg boost
+        # (field1[].rank boosting the field1[].text leg) via the same
+        # position joins _apply_value_boost runs — steps[-1].score must
+        # equal the engine's score exactly, with a leg_boost step naming
+        # the sibling path on boosted hits (tests.rs:841-871 leg 1 shape)
+        from veloci_spark.search import search
 
-        with pytest.raises(NotImplementedError):
-            explain_hits(jm_index, {"search": {
-                "terms": ["awesome"], "path": "field1[].text",
-                "options": {"boost": [{"path": "field1[].rank",
-                                       "boost_fun": "Log10", "param": 1}]}}},
-                [0])
+        res = search(jm_index, {"or": [
+            {"search": {"terms": ["awesome"], "path": "field1[].text",
+                        "options": {"boost": [
+                            {"path": "field1[].rank", "boost_fun": "Log10",
+                             "param": 1}]}}},
+            {"search": {"terms": ["urge"], "path": "meanings.eng[]",
+                        "options": {"boost": [
+                            {"path": "commonness", "boost_fun": "Log10",
+                             "param": 1}]}}}],
+            "explain_hits": True})
+        assert res["num_hits"] >= 2
+        paths = set()
+        for h in res["data"]:
+            steps = h["explain"]
+            assert np.float32(steps[-1]["score"]) == np.float32(h["score"]), (
+                h["doc_id"], steps)
+            paths |= {st["path"] for st in steps if st["step"] == "leg_boost"}
+        assert "field1[].rank" in paths  # the nested sibling boost fired
+        assert "commonness" in paths  # and the flat anchor boost
+
+    def test_explain_scalar_before_field_boost(self, jm_index):
+        # pyref leaf order (pyref.py:321-324): scalar leg boost applies
+        # BEFORE options.boost specs; the composed path runs the scalar in
+        # the leg kernel. Log10(v+1) does not commute with ×2, so a wrong
+        # order breaks the exact-equality invariant checked here.
+        from veloci_spark.search import search
+
+        res = search(jm_index, {"search": {
+            "terms": ["urge"], "path": "meanings.eng[]", "boost": 2.0,
+            "options": {"boost": [{"path": "commonness",
+                                   "boost_fun": "Log10", "param": 1}]}},
+            "explain_hits": True})
+        assert res["data"], res
+        for h in res["data"]:
+            steps = h["explain"]
+            assert np.float32(steps[-1]["score"]) == np.float32(h["score"]), (
+                h["doc_id"], steps)
+            kinds = [st["step"] for st in steps]
+            assert kinds.index("boost") < kinds.index("leg_boost"), kinds
 
 
 class TestComposedExtrasEquivalence:

@@ -101,7 +101,8 @@ def _doc_leaf_entries(index, leaves, doc_ids):
 
 
 def _explain_node(node, doc_id, entries, steps, leaf_map=None,
-                  leg_boost_vals=None):
+                  leg_boost_vals=None, leg_nested_vals=None,
+                  nested_boost_paths=frozenset()):
     """Walk the plan tree for one doc, appending Explain steps; returns the
     node's f32 score, or None when the doc misses the subtree."""
     from veloci_spark.search import _tree_tag
@@ -118,17 +119,23 @@ def _explain_node(node, doc_id, entries, steps, leaf_map=None,
         # reference MaxTokenToTextId: leaf value = max over its term rows
         steps.append({"step": "max_token_to_text", "score": float(best)})
         leaf = (leaf_map or {}).get(node["leaf_id"])
+        if node.get("boost") is not None:
+            # leaf scalar boost — applied BEFORE the per-leg field boosts
+            # (pyref leaf order; the composed path applies it in the leg
+            # KERNEL and strips it from the combine tree)
+            best = _F32(best * _F32(node["boost"]))
+            steps.append({"step": "boost", "factor": float(node["boost"]),
+                          "score": float(best)})
         if leaf is not None and leaf.field_boosts:
             # per-leg options.boost (composed path): applied to the leg's
-            # hits AFTER the leaf max and BEFORE the leaf's scalar boost /
-            # the tree combine (_composed_search_hits → _apply_anchor_boosts
-            # per leg → eval_tree). Same spec order, same f32 kernels.
+            # hits AFTER the leaf max + scalar boost, BEFORE the tree
+            # combine (_composed_search_hits: leg kernel applies the scalar
+            # boost, then _apply_anchor_boosts per leg, then the
+            # eval_segment combine). Same spec order, same f32 kernels.
             from veloci_spark.scoring import (boost_value_score,
                                               eval_boost_expression)
 
-            for spec in leaf.field_boosts:
-                v = (leg_boost_vals or {}).get((doc_id, spec["path"]),
-                                               float("nan"))
+            def _one(best, spec, v):
                 s_arr = np.array([best], dtype=_F32)
                 v_arr = np.array([v], dtype=np.float64)
                 if spec.get("expression") is not None:
@@ -138,17 +145,32 @@ def _explain_node(node, doc_id, entries, steps, leaf_map=None,
                     nb = boost_value_score(s_arr, v_arr,
                                            spec.get("boost_fun", "Log10"),
                                            float(spec.get("param", 0.0)))[0]
-                best = _F32(nb)
+                return _F32(nb)
+
+            for spec in leaf.field_boosts:
+                if spec["path"] in nested_boost_paths:
+                    # nested sibling-subfield: the kernel applies the leg's
+                    # matched boost VALUES sequentially in pos order
+                    # (_apply_value_boost); docs with no pairs are left
+                    # untouched (left join) — no step then
+                    for v in (leg_nested_vals or {}).get(
+                            (doc_id, node["leaf_id"], spec["path"]), ()):
+                        best = _one(best, spec, v)
+                        steps.append({"step": "leg_boost",
+                                      "path": spec["path"],
+                                      "value": float(v),
+                                      "score": float(best)})
+                    continue
+                v = (leg_boost_vals or {}).get((doc_id, spec["path"]),
+                                               float("nan"))
+                best = _one(best, spec, v)
                 steps.append({"step": "leg_boost", "path": spec["path"],
                               "value": None if np.isnan(v) else float(v),
                               "score": float(best)})
-        if node.get("boost") is not None:
-            best = _F32(best * _F32(node["boost"]))
-            steps.append({"step": "boost", "factor": float(node["boost"]),
-                          "score": float(best)})
         return best
     kids = [(c, _explain_node(c, doc_id, entries, steps, leaf_map,
-                              leg_boost_vals)) for c in node["children"]]
+                              leg_boost_vals, leg_nested_vals,
+                              nested_boost_paths)) for c in node["children"]]
     if len(kids) == 1:
         return kids[0][1]
     if node["op"] == "and":
@@ -179,6 +201,57 @@ def _explain_node(node, doc_id, entries, steps, leaf_map=None,
     return total
 
 
+def _leg_nested_boost_vals(index, leaves, doc_ids):
+    """(doc_id, leaf_id, boost_path) → boost values ordered by value pos —
+    the exact pair derivation of search._apply_value_boost invoked the way
+    the composed path invokes it (leaves=[leaf], so dedup is per leg),
+    restricted to the explained docs. One bounded join per (leaf, spec);
+    the matched side is partition-pruned to the explained docs."""
+    from veloci_spark.nested import path_depth, pos_level_cols
+    from veloci_spark.search import _common_array_levels, _filter_term_ids
+
+    out: dict[tuple[int, int, str], list] = {}
+    want = [int(d) for d in doc_ids]
+    for leaf in leaves:
+        if leaf.matched is None or leaf.field not in index.values:
+            continue
+        tids = [int(t) for t in leaf.matched["term_id"]]
+        if not tids:
+            continue
+        for spec in leaf.field_boosts or []:
+            bpath = spec["path"]
+            if bpath not in index.values:
+                continue
+            k = _common_array_levels(leaf.field, bpath)
+            if k == 0:
+                continue
+            ldepth = path_depth(leaf.field)
+            lvl = pos_level_cols(F.col("pos"), ldepth)[:k]
+            matched = (
+                _filter_term_ids(
+                    index.spark,
+                    index.tokentexts.where(F.col("field") == leaf.field),
+                    tids)
+                .where(F.col("doc_id").isin(want))
+                .select("doc_id", *[lvl[i].alias(f"_k{i}") for i in range(k)])
+                .distinct()
+            )
+            bvals = index.values[bpath].select(
+                "doc_id", F.col("pos").alias("_bpos"),
+                F.col("value").cast("double").alias("_bv"),
+                *[F.col(f"pos_{i}").alias(f"_k{i}") for i in range(k)])
+            rows = (
+                matched.join(bvals, on=["doc_id"] + [f"_k{i}" for i in range(k)])
+                .select("doc_id", "_bpos", "_bv")
+                .dropDuplicates(["doc_id", "_bpos"])
+                .orderBy("doc_id", "_bpos")
+                .toPandas()
+            )
+            for d, g in rows.groupby("doc_id"):
+                out[(int(d), leaf.leaf_id, bpath)] = [float(v) for v in g["_bv"]]
+    return out
+
+
 def explain_hits(index, request, doc_ids: list[int]) -> dict[int, list[dict]]:
     """Per-document score derivation for the given (already-ranked) docs.
     Returns doc_id → ordered list of Explain steps; the last step's score is
@@ -189,17 +262,16 @@ def explain_hits(index, request, doc_ids: list[int]) -> dict[int, list[dict]]:
      term_boost_leaves) = _collect_leaves(index, request)
     boost_cols = {spec["path"] for l in leaves
                   for spec in (l.field_boosts or [])}
-    if any(c in index.values for c in boost_cols):
-        # the nested sibling-subfield per-leg boost derives from per-VALUE
-        # position joins (_apply_value_boost); deriving it here would
-        # silently reproduce the flat combine — refuse instead
-        raise NotImplementedError(
-            "explain_hits does not derive per-leg nested "
-            "(sibling-subfield) boosts")
+    nested_boost_paths = {c for c in boost_cols if c in index.values}
+    # nested sibling-subfield per-leg boosts: per-(doc, leaf, path) ordered
+    # value lists via the same position joins _apply_value_boost runs,
+    # restricted to the explained docs
+    leg_nested_vals = _leg_nested_boost_vals(
+        index, leaves, doc_ids) if nested_boost_paths else {}
     # flat per-leg boost values for the explained docs: one bounded collect
     leg_boost_vals: dict[tuple[int, str], float] = {}
-    if boost_cols:
-        cols = sorted(boost_cols)
+    if boost_cols - nested_boost_paths:
+        cols = sorted(boost_cols - nested_boost_paths)
         rows = (
             index.docs.where(F.col("doc_id").isin([int(d) for d in doc_ids]))
             .select("doc_id",
@@ -238,7 +310,8 @@ def explain_hits(index, request, doc_ids: list[int]) -> dict[int, list[dict]]:
     for d in doc_ids:
         steps: list[dict] = []
         score = _explain_node(tree, int(d), entries, steps, leaf_map,
-                              leg_boost_vals)
+                              leg_boost_vals, leg_nested_vals,
+                              nested_boost_paths)
         if score is None:
             out[int(d)] = steps
             continue
