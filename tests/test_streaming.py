@@ -60,6 +60,53 @@ class TestGenerations:
         pairs = [(np.float32(d["score"]), d["doc_id"]) for d in res["data"]]
         assert pairs == sorted(pairs, key=lambda p: (-p[0], -p[1]))
 
+    def test_sparse_caller_ids_set_high_water_mark(self, spark, stream_cfg,
+                                                   tmp_path):
+        """Caller-supplied batch-local ids need not be dense: id_hi must be
+        max(id)+1, not base+row_count, or the NEXT generation's base would
+        collide with this one's high ids and range-routing (get_doc, select,
+        per-generation tombstone split) would misattribute them."""
+        import dataclasses
+
+        from veloci_spark.streaming import MultiIndex, ingest_batch
+
+        cfg = dataclasses.replace(stream_cfg, doc_id_col="my_id")
+        root = str(tmp_path / "root")
+        sparse = [dict(r, my_id=i) for r, i in
+                  zip(_batch_rows(0, 3, "a"), (0, 5, 9))]
+        rec0 = ingest_batch(spark, spark.createDataFrame(sparse), cfg, root)
+        assert rec0["n_docs"] == 3
+        assert rec0["id_hi"] == 10       # span covers the holes
+
+        rec1 = ingest_batch(spark, spark.createDataFrame(_batch_rows(0, 4, "b")),
+                            stream_cfg, root)
+        assert rec1["base"] == 10        # no collision with sparse id 9
+
+        mi = MultiIndex(spark, root)
+        assert "/a/" in mi.get_doc(9)["url"]    # routed to gen 0, not gen 1
+        assert "/b/" in mi.get_doc(10)["url"]
+        assert mi.get_doc(7) is None             # hole inside gen 0's span
+        # no internal id plumbing leaks into the stored document
+        assert "_gid" not in mi.get_doc(9)
+        res = mi.search({"search": {"terms": ["spark"], "path": "text"},
+                         "top": 10})
+        assert {d["doc_id"] for d in res["data"]} == {0, 5, 9, 10, 11, 12, 13}
+
+        with pytest.raises(ValueError, match="negative"):
+            neg = [dict(_batch_rows(0, 1, "c")[0], my_id=-1)]
+            ingest_batch(spark, spark.createDataFrame(neg), cfg, root)
+
+        # compaction unions generations whose payload schemas differ (gen 0
+        # has my_id, gen 1 does not) and keeps the sparse high-water mark
+        from veloci_spark.streaming import compact
+        rec = compact(spark, root, stream_cfg)
+        assert rec["n_docs"] == 7 and rec["id_hi"] == 14
+        mi2 = MultiIndex(spark, root)
+        assert "/a/" in mi2.get_doc(9)["url"]
+        res2 = mi2.search({"search": {"terms": ["spark"], "path": "text"},
+                           "top": 10})
+        assert {d["doc_id"] for d in res2["data"]} == {0, 5, 9, 10, 11, 12, 13}
+
     def test_doc_routing(self, spark, stream_cfg, tmp_path):
         from veloci_spark.streaming import MultiIndex, ingest_batch
 

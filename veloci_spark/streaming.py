@@ -122,20 +122,40 @@ def ingest_batch(spark: SparkSession, df: DataFrame, config: IndexConfig,
     # by the running base, then build with doc_id_col (no second assignment)
     from veloci_spark.build import assign_doc_ids
 
+    id_span = None  # dense-by-construction unless the caller supplies ids
     if config.doc_id_col and config.doc_id_col in df.columns:
-        with_ids = df.withColumn("_gid", F.col(config.doc_id_col) + F.lit(base))
+        # caller-supplied ids are batch-LOCAL; they need not be dense, but
+        # id_hi must cover the actual id range — base + row count silently
+        # under-reports a sparse batch, so the NEXT generation's base would
+        # collide with this one's ids and range-routing (select, why_found,
+        # per-generation tombstone split) would miss every doc past the
+        # phantom high-water mark
+        lo, hi = df.agg(
+            F.min(F.col(config.doc_id_col).cast("long")),
+            F.max(F.col(config.doc_id_col).cast("long"))).first()
+        if lo is not None and lo < 0:
+            raise ValueError(
+                f"ingest_batch: negative {config.doc_id_col} ({lo}) — "
+                "batch-local doc ids must be >= 0")
+        id_span = 0 if hi is None else int(hi) + 1
+        # name the global id doc_id DIRECTLY (overwriting any payload column
+        # of that name): routing an internal "_gid" through doc_id_col
+        # persisted a duplicate long per doc in every generation's doc store
+        # and leaked the internal name into get_doc/select output
+        with_ids = df.withColumn(
+            "doc_id", (F.col(config.doc_id_col).cast("long") + F.lit(base)))
     else:
         local = assign_doc_ids(df, config.order_col)
-        with_ids = local.withColumn("_gid", F.col("doc_id") + F.lit(base)) \
-            .drop("doc_id")
+        with_ids = local.withColumn("doc_id", F.col("doc_id") + F.lit(base))
     # replace() carries EVERY config field (scoring, num_segments,
     # future additions) — re-enumerating the constructor
     # silently dropped scoring, so bm25-configured streams built
     # veloci-scored generations.
-    gen_config = dataclasses.replace(config, doc_id_col="_gid")
+    gen_config = dataclasses.replace(config, doc_id_col="doc_id")
     manifest = build_index(spark, with_ids, gen_config, d)
     rec = {"gen": gen_id, "base": base, "n_docs": manifest["n_docs"],
-           "id_hi": base + manifest["n_docs"], "dir": d, "ts": time.time()}
+           "id_hi": base + (manifest["n_docs"] if id_span is None else id_span),
+           "dir": d, "ts": time.time()}
     _write_gens(root_dir, gens + [rec])
     return rec
 
@@ -517,7 +537,10 @@ def compact(spark: SparkSession, root_dir: str, config: IndexConfig) -> dict:
     docs = None
     for g in gens:
         d = spark.read.parquet(os.path.join(g["dir"], "docs"))
-        docs = d if docs is None else docs.unionByName(d)
+        # batches may legitimately differ in payload schema (a crawl adds a
+        # column mid-stream); missing columns null-fill rather than failing
+        docs = d if docs is None else docs.unionByName(
+            d, allowMissingColumns=True)
     if dels is not None:
         docs = docs.join(dels, on="doc_id", how="left_anti")
     new_id = max(g["gen"] for g in gens) + 1
