@@ -168,6 +168,25 @@ def _request_strategy(vocab, phrase_pool):
     )
 
 
+def _check_request_vs_model(spark_index, ref_index, req):
+    from veloci_spark.search import search
+
+    got = search(spark_index, req)
+    want = pyref.search_request(ref_index, req)
+    got_pairs = [(d["doc_id"], np.float32(d["score"]))
+                 for d in got["data"]]
+    want_pairs = [(d, np.float32(s)) for d, s in want]
+    assert [p[0] for p in got_pairs] == [p[0] for p in want_pairs], req
+    for (gd, gs), (_wd, ws) in zip(got_pairs, want_pairs):
+        assert gs == ws, (req, gd, gs, ws)
+    # num_hits: the model's untruncated hit count
+    full = pyref.search_request(ref_index,
+                                {k: v for k, v in req.items()
+                                 if k not in ("top", "skip")}
+                                | {"top": 10**9})
+    assert got["num_hits"] == len(full), req
+
+
 class TestFuzzDifferential:
     @pytest.fixture(autouse=True)
     def _bind(self, engines, vocab, phrase_pool):
@@ -176,27 +195,35 @@ class TestFuzzDifferential:
         self.phrase_pool = phrase_pool
 
     def test_random_trees_match_oracle(self):
-        from veloci_spark.search import search
-
         @settings(max_examples=N_EXAMPLES, deadline=None,
                   derandomize=DERANDOMIZE,
                   suppress_health_check=[HealthCheck.too_slow])
         @given(req=_request_strategy(self.vocab, self.phrase_pool))
         def check(req):
-            got = search(self.spark_index, req)
-            want = pyref.search_request(self.ref_index, req)
-            got_pairs = [(d["doc_id"], np.float32(d["score"]))
-                         for d in got["data"]]
-            want_pairs = [(d, np.float32(s)) for d, s in want]
-            assert [p[0] for p in got_pairs] == [p[0] for p in want_pairs], req
-            for (gd, gs), (_wd, ws) in zip(got_pairs, want_pairs):
-                assert gs == ws, (req, gd, gs, ws)
-            # num_hits: the model's untruncated hit count
-            full = pyref.search_request(self.ref_index,
-                                        {k: v for k, v in req.items()
-                                         if k not in ("top", "skip")}
-                                        | {"top": 10**9})
-            assert got["num_hits"] == len(full), req
+            _check_request_vs_model(self.spark_index, self.ref_index, req)
+
+        check()
+
+    def test_random_trees_match_oracle_distributed_dict(self, spark,
+                                                        spark_index):
+        """The SAME random shape space over the DISTRIBUTED dictionary path
+        (local_dict_max_terms=0 → term matching runs as Spark jobs with the
+        JVM codegen predicates of _jvm_match_pred + capped ordered collect)
+        — the configuration a >2M-term dictionary actually runs at scale.
+        The fixed parity cases in test_dict_distributed.py pin each match
+        shape individually; this certifies whole-tree evaluation end to end
+        on that path against the model, exact f32."""
+        from veloci_spark.search import FulltextIndex
+
+        dist = FulltextIndex(spark, spark_index.index_dir,
+                             local_dict_max_terms=0)
+
+        @settings(max_examples=max(4, N_EXAMPLES // 3), deadline=None,
+                  derandomize=DERANDOMIZE,
+                  suppress_health_check=[HealthCheck.too_slow])
+        @given(req=_request_strategy(self.vocab, self.phrase_pool))
+        def check(req):
+            _check_request_vs_model(dist, self.ref_index, req)
 
         check()
 
