@@ -242,6 +242,13 @@ class TestSimpleSearch:
             {"or": [{"search": {"ignore_case": False, "terms": ["Wille"],
                                 "path": "text"}},
                     {"search": {"terms": ["wille"], "path": "text"}}]},
+            # case-variant terms of ONE sensitive leaf must stay distinct
+            # LEAVES too: the plan-dedup key folded them (fuzz-caught),
+            # silently dropping the variant that matches the corpus
+            {"search": {"ignore_case": False, "terms": ["Wollen", "wollen"],
+                        "path": "text"}},
+            {"search": {"ignore_case": False, "terms": ["PUR", "pur"],
+                        "path": "text"}, "skip": 0},
         ):
             got = search(idx, {**req, "top": 20})
             want = pyref.search_request(ref, {**req, "top": 20})

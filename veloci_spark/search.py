@@ -553,9 +553,15 @@ def _parse_tree(node: dict, leaves: list, dedup: dict):
         boost = None
     children = []
     for t in terms:
-        # regex patterns dedup by RAW pattern (lowering `\W` yields `\w`,
-        # and `(?-i:...)` patterns differing only in case are distinct)
-        key = (field, t if opts["is_regex"] else t.lower(),
+        # dedup identity mirrors the tag identity: regex patterns by RAW
+        # pattern (lowering `\W` yields `\w`, and `(?-i:...)` patterns
+        # differing only in case are distinct), and case-SENSITIVE plain
+        # terms likewise raw — folding them merged case-variant terms of
+        # one sensitive leaf (['Bago', 'bago']) into a single leaf and
+        # silently dropped the variant that matches the corpus
+        key = (field,
+               t if (opts["is_regex"] or opts["ignore_case"] is False)
+               else t.lower(),
                tuple(sorted(opts.items())), boost, repr(field_boosts))
         if key in dedup:
             leaf = dedup[key]
