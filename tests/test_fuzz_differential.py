@@ -227,6 +227,38 @@ class TestFuzzDifferential:
 
         check()
 
+    def test_suggest_path_parity(self, spark, spark_index):
+        """suggest() must return the SAME (text, score) list whether the
+        dictionary is driver-resident or matched distributed — the two
+        execution paths of match_terms share nothing past the interface, so
+        a divergence in banding, capping, dedup, or tie-break shows up here.
+        Random prefixes drawn from vocabulary terms (whole / truncated /
+        case-flipped / unknown) × fuzzy distance."""
+        from veloci_spark.search import FulltextIndex, suggest
+
+        dist = FulltextIndex(spark, spark_index.index_dir,
+                             local_dict_max_terms=0)
+
+        @settings(max_examples=max(6, N_EXAMPLES // 2), deadline=None,
+                  derandomize=DERANDOMIZE,
+                  suppress_health_check=[HealthCheck.too_slow])
+        @given(i=st.integers(min_value=0, max_value=10_000),
+               cut=st.integers(min_value=1, max_value=6),
+               flip=st.booleans(),
+               lev=st.integers(min_value=0, max_value=1),
+               top=st.integers(min_value=1, max_value=12))
+        def check(i, cut, flip, lev, top):
+            t = self.vocab[i % len(self.vocab)]
+            p = t[:max(1, len(t) - cut)]
+            if flip:
+                p = p[0].swapcase() + p[1:]
+            local = suggest(self.spark_index, "text", p, top=top,
+                            levenshtein=lev)
+            remote = suggest(dist, "text", p, top=top, levenshtein=lev)
+            assert local == remote, (p, lev, top)
+
+        check()
+
 
 # ---------------------------------------------------------------------------
 # composed-path fuzzing: per-leg boost-by-field (options.boost) × request
