@@ -27,6 +27,8 @@ REQS_PER_STEP = 3
 
 @pytest.fixture(scope="module")
 def twin_roots(spark, tmp_path_factory):
+    import dataclasses
+
     from veloci_spark.config import FieldConfig, IndexConfig
     from veloci_spark.streaming import ingest_batch
 
@@ -40,13 +42,30 @@ def twin_roots(spark, tmp_path_factory):
     for r in rows:
         r.pop("doc_id", None)
     root_a = str(tmp_path_factory.mktemp("streamfuzz") / "deleted")
-    # uneven generation sizes cross segment boundaries within and between gens
+    # uneven generation sizes cross segment boundaries within and between
+    # gens; the MIDDLE generation carries caller-supplied SPARSE batch-local
+    # ids (holes between every doc), so every randomized assertion below
+    # also exercises sparse id spans: range-routing, per-generation
+    # tombstone splits, and the high-water-mark base of the next generation
     splits = [0, 25, 41, 90]
-    for lo, hi in zip(splits, splits[1:]):
-        ingest_batch(spark, spark.createDataFrame(rows[lo:hi]), cfg, root_a)
+    all_ids: list[int] = []
+    base = 0
+    for gen_i, (lo, hi) in enumerate(zip(splits, splits[1:])):
+        batch = rows[lo:hi]
+        if gen_i == 1:
+            sparse_cfg = dataclasses.replace(cfg, doc_id_col="my_id")
+            batch = [dict(r, my_id=i * 2) for i, r in enumerate(batch)]
+            rec = ingest_batch(spark, spark.createDataFrame(batch),
+                               sparse_cfg, root_a)
+            all_ids += [base + i * 2 for i in range(len(batch))]
+        else:
+            rec = ingest_batch(spark, spark.createDataFrame(batch), cfg,
+                               root_a)
+            all_ids += list(range(base, base + len(batch)))
+        base = rec["id_hi"]
     root_b = root_a + "_clean"
     shutil.copytree(root_a, root_b)
-    return root_a, root_b
+    return root_a, root_b, all_ids
 
 
 def _vocab(spark, root_b):
@@ -81,7 +100,7 @@ def _rand_tree(rng, vocab, depth=0):
 def test_deletes_are_a_pure_filter(spark, twin_roots):
     from veloci_spark.streaming import MultiIndex, delete_docs
 
-    root_a, root_b = twin_roots
+    root_a, root_b, all_ids = twin_roots
     vocab = _vocab(spark, root_b)
     assert len(vocab) >= 10
     mi_clean = MultiIndex(spark, root_b)
@@ -89,7 +108,7 @@ def test_deletes_are_a_pure_filter(spark, twin_roots):
     deleted: set[int] = set()
     try:
         for _step in range(N_STEPS):
-            live = [d for d in range(90) if d not in deleted]
+            live = [d for d in all_ids if d not in deleted]
             kill = rng.choice(live, size=min(5, max(1, len(live) // 10)),
                               replace=False)
             delete_docs(spark, root_a, [int(d) for d in kill])
