@@ -381,3 +381,104 @@ class TestFuzzComposedExtras:
             assert got["num_hits"] == len(full), req
 
         check()
+
+
+# ---------------------------------------------------------------------------
+# query-STRING fuzzing: random grammar strings → the ONE shared generator
+# (query_to_request) → both engines. Extends differential coverage to the
+# request shapes only the generator produces — multi-field expansion where
+# the legs share one term tag (the OR n² formula must count the query term
+# once across fields), auto-levenshtein from term length, adjacency phrase
+# boosts threaded through attributed terms, and explicit AND/OR nesting —
+# none of which the tree strategies above emit.
+
+# no EN/DE stopwords (remove_stopwords defaults True in the generator)
+_QS_WORDS = ["galaxy", "nebula", "quasar", "pulsar", "comet", "meteor",
+             "aurora", "eclipse", "zenith", "parallax"]
+
+
+@pytest.fixture(scope="module")
+def query_engines(spark, tmp_path_factory):
+    from veloci_spark.build import build_index
+    from veloci_spark.config import FieldConfig, IndexConfig
+    from veloci_spark.search import FulltextIndex
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(70):
+        title = " ".join(_QS_WORDS[j] for j in rng.randint(0, len(_QS_WORDS), 3))
+        body = " ".join(_QS_WORDS[j] for j in rng.randint(0, len(_QS_WORDS),
+                                                          int(rng.randint(4, 9))))
+        rows.append({"doc_id": i, "title": title, "body": body})
+    cfg = IndexConfig(fields=(FieldConfig("title"), FieldConfig("body")),
+                      doc_id_col="doc_id", segment_docs=8)
+    d = str(tmp_path_factory.mktemp("fuzzqsidx"))
+    build_index(spark, spark.createDataFrame(
+        rows, "doc_id long, title string, body string"), cfg, d)
+    idx = FulltextIndex(spark, d).cache()
+    ref = pyref.RefIndex(rows, cfg)
+    return idx, ref
+
+
+def _query_string_strategy():
+    def clause(i, shape, j):
+        t = _QS_WORDS[i % len(_QS_WORDS)]
+        if shape == 1:
+            return t[:-2] + "*"                      # prefix wildcard
+        if shape == 2:
+            return t[0] + "x" + t[2:] + "~1"         # explicit fuzzy typo
+        if shape == 3:
+            return f'"{t} {_QS_WORDS[j % len(_QS_WORDS)]}"'   # quoted phrase
+        if shape == 4:
+            return f"title:{t}"                      # attributed term
+        if shape == 5:
+            return f"body:{t}"
+        return t                                     # plain multi-field term
+
+    def assemble(parts, conns, top, skip):
+        q = parts[0]
+        for conn, p in zip(conns, parts[1:]):
+            q += (" AND " if conn else " OR ") + p
+        return q, top, skip
+
+    part = st.builds(clause,
+                     st.integers(min_value=0, max_value=10_000),
+                     st.integers(min_value=0, max_value=5),
+                     st.integers(min_value=0, max_value=10_000))
+    return st.builds(assemble,
+                     st.lists(part, min_size=1, max_size=3),
+                     st.lists(st.booleans(), min_size=2, max_size=2),
+                     st.integers(min_value=1, max_value=30),
+                     st.integers(min_value=0, max_value=4))
+
+
+class TestFuzzQueryStrings:
+    def test_query_strings_match_oracle(self, query_engines):
+        from veloci_spark.query import query_to_request
+        from veloci_spark.search import search
+
+        idx, ref = query_engines
+
+        @settings(max_examples=N_EXAMPLES, deadline=None,
+                  derandomize=DERANDOMIZE,
+                  suppress_health_check=[HealthCheck.too_slow])
+        @given(qts=_query_string_strategy())
+        def check(qts):
+            q, top, skip = qts
+            req = query_to_request(q, search_fields=["title", "body"],
+                                   top=top, skip=skip)
+            got = search(idx, req)
+            want = pyref.search_request(ref, req)
+            got_pairs = [(d["doc_id"], np.float32(d["score"]))
+                         for d in got["data"]]
+            want_pairs = [(d, np.float32(s)) for d, s in want]
+            assert [p[0] for p in got_pairs] == [p[0] for p in want_pairs], \
+                (q, req)
+            for (gd, gs), (_wd, ws) in zip(got_pairs, want_pairs):
+                assert gs == ws, (q, gd, gs, ws)
+            full = pyref.search_request(ref, {k: v for k, v in req.items()
+                                              if k not in ("top", "skip")}
+                                        | {"top": 10**9})
+            assert got["num_hits"] == len(full), (q, req)
+
+        check()
