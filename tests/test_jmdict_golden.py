@@ -962,3 +962,74 @@ class TestSuggestTerms:
             "majestätisches",
             "majestätisches Aussehen (n)",
         ]
+
+
+class TestFuzzNestedExplain:
+    """Invariant fuzz over NESTED request shapes (pyref is flat-only, so the
+    tree differential fuzzer cannot walk these): for random OR/AND trees
+    over 1:n / 2-level paths, the per-hit explain re-derivation
+    (veloci_spark.explain — an independent driver-side implementation over
+    the same index data) must reproduce every hit's final f32 score
+    bit-exactly, and untruncated num_hits must equal the emitted hit count."""
+
+    # (field, term) pool spanning tags[], kanji[].text, both meanings
+    # subfields, and flat title — exact corpus values plus fuzzy/prefix bait
+    _POOL = [
+        ("tags[]", "nice"), ("tags[]", "cool"), ("tags[]", "awesome"),
+        ("kanji[].text", "意欲"), ("kana[].romaji", "Iyoku"),
+        ("meanings.eng[]", "urge"), ("meanings.eng[]", "will"),
+        ("meanings.eng[]", "test1"), ("meanings.ger[]", "weich"),
+        ("meanings.ger[]", "Treffer"), ("meanings.ger[]", "Wollen"),
+        ("meanings.ger[]", "localität"), ("field1[].text", "awesome"),
+        ("title", "Erbin"), ("type", "taschenbuch"),
+    ]
+
+    def test_explain_matches_engine_scores(self, jm_index):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from veloci_spark.search import search
+
+        import os as _os
+        n_ex = int(_os.environ.get("FUZZ_EXAMPLES", "15"))
+        derand = "FUZZ_RANDOM" not in _os.environ
+
+        def leaf(i, how):
+            fld, t = self._POOL[i % len(self._POOL)]
+            l = {"terms": [t], "path": fld}
+            if how == 1 and len(t) >= 3:           # typo + fuzzy
+                l["terms"] = [t[0] + "x" + t[2:]]
+                l["levenshtein_distance"] = 1
+            elif how == 2 and len(t) >= 4:         # prefix
+                l["terms"] = [t[:-2]]
+                l["starts_with"] = True
+            elif how == 3:
+                l["levenshtein_distance"] = 1
+            return {"search": l}
+
+        leaf_st = st.builds(leaf, st.integers(min_value=0, max_value=10_000),
+                            st.integers(min_value=0, max_value=3))
+        tree_st = st.recursive(
+            leaf_st,
+            lambda ch: st.one_of(
+                st.builds(lambda k: {"or": k},
+                          st.lists(ch, min_size=2, max_size=3)),
+                st.builds(lambda k: {"and": k},
+                          st.lists(ch, min_size=2, max_size=3))),
+            max_leaves=4)
+
+        @settings(max_examples=n_ex, deadline=None, derandomize=derand,
+                  suppress_health_check=[HealthCheck.too_slow])
+        @given(tree=tree_st, top=st.integers(min_value=1, max_value=20))
+        def check(tree, top):
+            got = search(jm_index, {**tree, "top": top,
+                                    "explain_hits": True})
+            for h in got["data"]:
+                steps = h["explain"]
+                assert steps, (tree, h["doc_id"])
+                assert np.float32(steps[-1]["score"]) == \
+                    np.float32(h["score"]), (tree, h["doc_id"], steps)
+            full = search(jm_index, {**tree, "top": 10**6})
+            assert got["num_hits"] == len(full["data"]), tree
+
+        check()
