@@ -220,31 +220,39 @@ class MultiIndex:
             # DataFrames (ADVICE r4). Search-time anti-joins re-read the
             # small deletes parquet instead.
             self.deletes.cache()
-            ranges = spark.createDataFrame(
-                [(g["gen"], g["base"], _gen_hi(g),
-                  int(idx.manifest["segment_docs"]))
-                 for g, idx in self.indexes],
-                "gen int, lo long, hi long, segd long")
-            d = self.deletes
-            rows = (d.join(F.broadcast(ranges),
-                           (d["doc_id"] >= ranges["lo"])
-                           & (d["doc_id"] < ranges["hi"]))
-                    .groupBy("gen", F.floor(d["doc_id"] / F.col("segd"))
-                             .cast("int").alias("seg"))
-                    .count().collect())
-            for r in rows:
-                self._seg_extra.setdefault(int(r["gen"]), {})[int(r["seg"])] \
-                    = int(r["count"])
-            self._del_counts = {g: sum(v.values())
-                                for g, v in self._seg_extra.items()}
-            self.n_deletes = sum(self._del_counts.values())
-            if self.n_deletes <= self.LOCAL_DELETES_MAX:
-                self._del_set = frozenset(
-                    r["doc_id"] for r in self.deletes.collect())
-                self._build_seg_deleted()
-            else:
-                self._del_set = None  # too large: stay distributed
-            self.deletes.unpersist()
+            try:
+                self._load_tombstone_state(spark)
+            finally:
+                # released even when a job above fails — a throwaway handle
+                # whose __init__ raised must not leave a cached DataFrame
+                # behind (ADVICE r4)
+                self.deletes.unpersist()
+
+    def _load_tombstone_state(self, spark):
+        ranges = spark.createDataFrame(
+            [(g["gen"], g["base"], _gen_hi(g),
+              int(idx.manifest["segment_docs"]))
+             for g, idx in self.indexes],
+            "gen int, lo long, hi long, segd long")
+        d = self.deletes
+        rows = (d.join(F.broadcast(ranges),
+                       (d["doc_id"] >= ranges["lo"])
+                       & (d["doc_id"] < ranges["hi"]))
+                .groupBy("gen", F.floor(d["doc_id"] / F.col("segd"))
+                         .cast("int").alias("seg"))
+                .count().collect())
+        for r in rows:
+            self._seg_extra.setdefault(int(r["gen"]), {})[int(r["seg"])] \
+                = int(r["count"])
+        self._del_counts = {g: sum(v.values())
+                            for g, v in self._seg_extra.items()}
+        self.n_deletes = sum(self._del_counts.values())
+        if self.n_deletes <= self.LOCAL_DELETES_MAX:
+            self._del_set = frozenset(
+                r["doc_id"] for r in self.deletes.collect())
+            self._build_seg_deleted()
+        else:
+            self._del_set = None  # too large: stay distributed
 
     def _build_seg_deleted(self):
         """Per-(generation, segment) SEGMENT-RELATIVE tombstone ids, the
