@@ -34,6 +34,10 @@ def main(argv=None):
                     help="comma-separated tokenized fields")
     ap.add_argument("--facet-fields", default="lang",
                     help="comma-separated untokenized fields")
+    ap.add_argument("--config", default=None,
+                    help="reference-format fields config file (JSON or "
+                         "TOML, the create_index shape); overrides "
+                         "--fields/--facet-fields")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -43,12 +47,22 @@ def main(argv=None):
     from veloci_spark.build import build_index
     from veloci_spark.config import FieldConfig, IndexConfig
 
-    fields = tuple(
-        [FieldConfig(f) for f in args.fields.split(",") if f]
-        + [FieldConfig(f, tokenize=False, phrase_pairs=False, token_texts=False)
-           for f in args.facet_fields.split(",") if f]
-    )
     docs = spark.read.parquet(args.input)
+    if args.config is not None:
+        from veloci_spark.fields_config import (discover_paths,
+                                                index_config_from_string)
+
+        with open(args.config) as fh:
+            cfg_text = fh.read()
+        paths = discover_paths(docs.schema)
+        fields = index_config_from_string(cfg_text, paths).fields
+    else:
+        fields = tuple(
+            [FieldConfig(f) for f in args.fields.split(",") if f]
+            + [FieldConfig(f, tokenize=False, phrase_pairs=False,
+                           token_texts=False)
+               for f in args.facet_fields.split(",") if f]
+        )
     doc_id_col = args.doc_id_col
     if doc_id_col is None and args.order_col not in docs.columns:
         # out-of-the-box on inputs without the default order column: a
