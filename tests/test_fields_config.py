@@ -47,6 +47,19 @@ class TestParse:
         with pytest.raises(ValueError):
             parse_fields_config("[1, 2]")
 
+    def test_wrapper_shape_accepted(self):
+        # CreateIndexConfig wrapper (fields_config.rs:6-12): the map under
+        # fields_config, do_not_store_document tolerated (moot here — the
+        # source table is the doc store)
+        cfg = parse_fields_config(json.dumps({
+            "fields_config": {"text": {"facet": True}},
+            "do_not_store_document": True}))
+        assert cfg == {"text": {"facet": True}}
+
+    def test_scalar_field_entry_rejected(self):
+        with pytest.raises(ValueError, match="option maps"):
+            parse_fields_config('{"text": true}')
+
 
 class TestLowering:
     def test_defaults_match_reference(self):

@@ -79,6 +79,16 @@ def parse_fields_config(text: str) -> dict:
         cfg = tomllib.loads(text)
     if not isinstance(cfg, dict):
         raise ValueError("fields config must be a map of field path -> options")
+    # the CreateIndexConfig wrapper shape (fields_config.rs:6-12) carries
+    # the map under fields_config plus do_not_store_document; accept it
+    # too (the doc store here IS the source table, so the flag is moot)
+    if isinstance(cfg.get("fields_config"), dict):
+        cfg = cfg["fields_config"]
+    cfg.pop("do_not_store_document", None)
+    bad = [k for k, v in cfg.items() if not isinstance(v, dict)]
+    if bad:
+        raise ValueError(f"field entries must be option maps; got scalars "
+                         f"for {sorted(bad)}")
     return cfg
 
 
