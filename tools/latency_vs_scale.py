@@ -13,6 +13,12 @@ merge, so latency should grow with segments touched, not docs indexed.
 Prints ONE JSON line like bench.py.
 
 Usage: python tools/latency_vs_scale.py [n_docs]   (default 1,000,000)
+
+Size the fixed JVM heap to the corpus: the bench harness's 8g default
+(right for the 1M-doc scaling legs) OOMs at 10M docs under local[32] —
+32 concurrent scan/Arrow tasks over a ~3 GB corpus need
+``BENCH_DRIVER_MEM=28g`` (measured; a real cluster spreads the same
+tasks over per-executor heaps).
 """
 
 from __future__ import annotations
