@@ -197,7 +197,7 @@ class TestEndToEnd:
 
 
 class TestJobWiring:
-    def test_build_job_accepts_config(self, spark, tmp_path, monkeypatch):
+    def test_build_job_accepts_config(self, spark, tmp_path):
         """jobs/build_index_job.py --config end-to-end in-process (the
         spark-submit twin is tests/test_jobs.py; here the arg wiring)."""
         import sys
@@ -226,10 +226,22 @@ class TestJobWiring:
             def getOrCreate(self):
                 return spark
 
-        monkeypatch.setattr(psql.SparkSession, "builder", _FakeBuilder())
-        monkeypatch.setattr(spark, "stop", lambda: None)
-        build_index_job.main(["--input", inp, "--output", out,
-                              "--config", str(cfgf)])
+        # patch/restore at the CLASS level with the original DESCRIPTORS:
+        # monkeypatch.setattr would record the EVALUATED classproperty and
+        # leave a stale Builder instance behind, and an instance-level stop
+        # patch leaves a bound method in the session's __dict__ that
+        # bypasses test_jobs' own class-level no_stop patch later in the
+        # suite (observed: the shared session's context got stopped)
+        orig_builder = psql.SparkSession.__dict__["builder"]
+        orig_stop = psql.SparkSession.__dict__["stop"]
+        psql.SparkSession.builder = _FakeBuilder()
+        psql.SparkSession.stop = lambda self: None
+        try:
+            build_index_job.main(["--input", inp, "--output", out,
+                                  "--config", str(cfgf)])
+        finally:
+            psql.SparkSession.builder = orig_builder
+            psql.SparkSession.stop = orig_stop
         from veloci_spark.search import FulltextIndex, search
 
         idx = FulltextIndex(spark, out)
